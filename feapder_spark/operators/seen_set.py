@@ -1,0 +1,158 @@
+"""Distributed URL-seen set — DataFrame-level dedup operators (SURVEY §1.5).
+
+These are pure DataFrame→DataFrame transformations; persistence (snapshot
+commits) belongs to the engine.  They replace the reference's Redis-backed
+filters (dedup/bloomfilter.py, dedup/expirefilter.py):
+
+- :func:`mark_in_batch_first` — within one micro-batch the 2nd+ occurrence of
+  a fingerprint counts as already-seen (litefilter.py:57-68 contract, F7).
+- :func:`dedup_new` — exact path: left-anti join candidates vs the committed
+  seen table (F1/J1); at 10^10 keys this is a fingerprint-bucketed shuffle
+  join that Iceberg/parquet bucket pruning keeps local.
+- :class:`BloomSeenSet` — scale path: the seen set is B bucketed Bloom blobs
+  (bucket, generation, bits BINARY); membership+insert is one cogrouped
+  ``applyInPandas`` over (candidates ⨝ blobs) per bucket, generations chain
+  at 50% fill exactly like the reference's ScalableBloomFilter
+  (bloomfilter.py:142-162, 245-278).  Only touched buckets rewrite — the
+  shuffle moves fingerprints (16 B each) and the touched blobs, never the
+  whole set.
+
+Expiry (the reference's ExpireFilter, expirefilter.py:17-81) is a predicate
+on ``added_at`` in the exact table: :func:`prune_expired`.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from feapder_spark.operators.bloom_kernel import BloomKernel
+
+FP_COL = "fingerprint"
+
+
+def mark_in_batch_first(df: DataFrame, fp_col: str = FP_COL, order_cols: Iterable[str] = ("priority",)) -> DataFrame:
+    """Add ``is_first_in_batch``: 1 on the first occurrence of each
+    fingerprint within this batch (deterministic order), else 0."""
+    w = Window.partitionBy(fp_col).orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn("is_first_in_batch", (F.row_number().over(w) == 1).cast("int"))
+
+
+def dedup_new(
+    candidates: DataFrame,
+    seen: DataFrame,
+    fp_col: str = FP_COL,
+    order_cols: Iterable[str] = ("priority",),
+) -> DataFrame:
+    """Exact claim-on-enqueue dedup (request_buffer.py:42-50 semantics).
+
+    Returns the rows that are *new*: first occurrence in this batch AND not
+    present in the committed seen set.  ``seen`` needs only ``fp_col``.
+    """
+    firsts = mark_in_batch_first(candidates, fp_col, order_cols).filter(F.col("is_first_in_batch") == 1)
+    return firsts.drop("is_first_in_batch").join(
+        seen.select(F.col(fp_col)).distinct(), on=fp_col, how="left_anti"
+    )
+
+
+def prune_expired(seen: DataFrame, ttl_seconds: int, now_col: str = "added_at") -> DataFrame:
+    """ExpireFilter semantics: drop fingerprints older than the TTL
+    (expirefilter.py:71-75's zremrangebyscore as a filter predicate)."""
+    cutoff = F.current_timestamp() - F.expr(f"INTERVAL {int(ttl_seconds)} SECONDS")
+    return seen.filter(F.col(now_col) >= cutoff)
+
+
+class BloomSeenSet:
+    """Partitioned scalable-Bloom seen set over a blobs DataFrame.
+
+    Blobs schema: ``bucket INT, generation INT, bits BINARY``.  Fingerprints
+    route to ``bucket = pmod(xxhash64(fp), num_buckets)``; each bucket holds a
+    chain of Bloom generations.  ``check_and_add`` returns per-fingerprint
+    ``is_new`` plus the updated blobs in one cogrouped pass.
+
+    Sizing: at 1e10 fingerprints with P=1e-5, num_buckets=4096 and
+    capacity≈2.5e6/bucket puts each blob at ~15 MB — executor-friendly, and
+    the per-iteration update rewrites only the touched buckets.
+    """
+
+    BLOBS_SCHEMA = "bucket INT, generation INT, bits BINARY"
+    _OUT_SCHEMA = "kind STRING, fingerprint STRING, is_new INT, bucket INT, generation INT, bits BINARY"
+
+    def __init__(self, num_buckets: int = 64, capacity_per_bucket: int = 100_000, error_rate: float = 1e-5):
+        self.num_buckets = num_buckets
+        self.capacity_per_bucket = capacity_per_bucket
+        self.error_rate = error_rate
+
+    def empty_blobs(self, spark) -> DataFrame:
+        return spark.createDataFrame([], self.BLOBS_SCHEMA)
+
+    def bucket_col(self, fp_col: str = FP_COL):
+        return F.pmod(F.xxhash64(F.col(fp_col)), F.lit(self.num_buckets)).cast("int")
+
+    def check_and_add(
+        self, candidates: DataFrame, blobs: DataFrame, fp_col: str = FP_COL
+    ) -> tuple[DataFrame, DataFrame]:
+        """(results, new_blobs).
+
+        ``candidates`` must already be unique per fingerprint (apply
+        :func:`mark_in_batch_first` upstream) — is_new is per fingerprint.
+        ``results``: (fingerprint, is_new); ``new_blobs``: full updated blob
+        set for the touched buckets **plus** untouched blobs passed through,
+        so the output is a complete replacement table.
+        """
+        cap, err = self.capacity_per_bucket, self.error_rate
+
+        keyed = candidates.select(F.col(fp_col).alias("fingerprint")).withColumn(
+            "bucket", self.bucket_col("fingerprint")
+        )
+
+        def per_bucket(key, cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(key[0])
+            gens: list[BloomKernel] = []
+            if len(blob_pdf):
+                blob_pdf = blob_pdf.sort_values("generation")
+                for _, row in blob_pdf.iterrows():
+                    gens.append(BloomKernel.from_bytes(bytes(row["bits"]), cap, err))
+            if not gens:
+                gens.append(BloomKernel(cap, err))
+            # rotate first, like ScalableBloomFilter.check_filter_capacity
+            if gens[-1].is_at_capacity():
+                gens.append(BloomKernel(cap, err))
+            keys = cand_pdf["fingerprint"].tolist()
+            out_rows = []
+            if keys:
+                import numpy as np
+
+                exists = np.zeros(len(keys), dtype=bool)
+                for g in reversed(gens):
+                    pending = [i for i in range(len(keys)) if not exists[i]]
+                    if not pending:
+                        break
+                    hit = g.contains([keys[i] for i in pending])
+                    for i, h in zip(pending, hit):
+                        exists[i] = h
+                new_keys = [k for k, e in zip(keys, exists) if not e]
+                if new_keys:
+                    gens[-1].add(new_keys)
+                for k, e in zip(keys, exists):
+                    out_rows.append(("r", k, int(not e), bucket, -1, None))
+            for gi, g in enumerate(gens):
+                out_rows.append(("b", None, None, bucket, gi, g.to_bytes()))
+            return pd.DataFrame(
+                out_rows, columns=["kind", "fingerprint", "is_new", "bucket", "generation", "bits"]
+            )
+
+        out = (
+            keyed.groupBy("bucket")
+            .cogroup(blobs.groupBy("bucket"))
+            .applyInPandas(per_bucket, schema=self._OUT_SCHEMA)
+        )
+        out = out.persist()
+        results = out.filter(F.col("kind") == "r").select("fingerprint", "is_new")
+        touched = out.filter(F.col("kind") == "b").select("bucket", "generation", "bits")
+        untouched = blobs.join(touched.select("bucket").distinct(), on="bucket", how="left_anti")
+        new_blobs = touched.unionByName(untouched)
+        return results, new_blobs

@@ -1,0 +1,235 @@
+"""Snapshot-committed tables over parquet — the engine's state store.
+
+The north rule targets Iceberg tables; this sandbox image ships no Iceberg
+(or Delta) jars, so this module provides the same *semantics* on plain
+parquet with an Iceberg-shaped metadata layout, and is the single seam where
+a real Iceberg catalog would plug in (`SnapshotTable` ≈ `catalog.table`,
+`commit()` ≈ snapshot commit, `version` ≈ snapshot id, `rollback()` ≈
+`rollback_to_snapshot`).  The reference's equivalents are Redis atomic Lua
+commits (redisdb.py:472-523) and MySQL transactions — here a commit is an
+atomic version-pointer swap.
+
+Layout per table::
+
+    {warehouse}/{name}/
+        data/v{version}-{token}/part-*.parquet    immutable data segments
+        _versions/{version}.json                  manifest: schema + segment list
+        _current                                  pointer file (atomic rename)
+
+- **append** commit: new manifest = previous segments + the new segment.
+- **overwrite** commit: new manifest = just the new segment.
+- Readers resolve `_current` → manifest → explicit segment dirs, so a reader
+  never sees a half-written commit (writes land in a fresh segment dir before
+  the pointer moves) — snapshot isolation, same guarantee Iceberg gives.
+- **time travel / resume**: read any retained version; `rollback(v)` moves
+  the pointer back (used by the crawl engine's checkpoint resume, mirroring
+  the reference's "frontier non-empty ⇒ don't re-seed" resume at
+  scheduler.py:197-201).
+
+At cluster scale the segment dirs are partitioned parquet (writers use
+``partition_by``), so Catalyst partition pruning works exactly as it would on
+Iceberg manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Manifest:
+    version: int
+    schema_ddl: str
+    segments: list[str]  # relative segment dir names under data/
+    meta: dict
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "schema_ddl": self.schema_ddl,
+                "segments": self.segments,
+                "meta": self.meta,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(text: str) -> "Manifest":
+        d = json.loads(text)
+        return Manifest(d["version"], d["schema_ddl"], d["segments"], d.get("meta", {}))
+
+
+def _atomic_write(path: str, text: str) -> None:
+    """Write-then-rename so readers see old or new content, never partial."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str, name: str):
+        self.spark = spark
+        self.name = name
+        self.root = os.path.join(root, name)
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "_versions"), exist_ok=True)
+
+    # -- metadata ----------------------------------------------------------
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_current")
+
+    def current_version(self) -> int:
+        """Current snapshot id; -1 if the table has never been committed."""
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def manifest(self, version: int | None = None) -> Manifest | None:
+        v = self.current_version() if version is None else version
+        if v < 0:
+            return None
+        with open(os.path.join(self.root, "_versions", f"{v}.json")) as f:
+            return Manifest.from_json(f.read())
+
+    def exists(self) -> bool:
+        return self.current_version() >= 0
+
+    # -- read --------------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"table {self.name} has no committed snapshot")
+        if not m.segments:
+            return self.spark.createDataFrame([], m.schema_ddl)
+        paths = [os.path.join(self.root, "data", s) for s in m.segments]
+        return self.spark.read.schema(m.schema_ddl).parquet(*paths)
+
+    # -- write -------------------------------------------------------------
+    def commit(
+        self,
+        df: DataFrame | None,
+        mode: str = "append",
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Commit one snapshot; returns the new version id.
+
+        ``df=None`` commits a metadata-only snapshot (same segments, new
+        meta) — used for checkpoint markers.
+        """
+        prev = self.manifest()
+        version = (prev.version + 1) if prev else 0
+        if df is not None:
+            seg = f"v{version}-{uuid.uuid4().hex[:8]}"
+            seg_path = os.path.join(self.root, "data", seg)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(seg_path)
+            schema_ddl = df._jdf.schema().toDDL()
+            if mode == "append":
+                segments = (prev.segments if prev else []) + [seg]
+            elif mode == "overwrite":
+                segments = [seg]
+            else:
+                raise ValueError(f"unknown commit mode {mode!r}")
+        else:
+            if prev is None:
+                raise ValueError("metadata-only commit on uncommitted table")
+            schema_ddl, segments = prev.schema_ddl, prev.segments
+        man = Manifest(version, schema_ddl, segments, meta or {})
+        _atomic_write(os.path.join(self.root, "_versions", f"{version}.json"), man.to_json())
+        _atomic_write(self._pointer, str(version))
+        return version
+
+    def create_empty(self, schema_ddl: str) -> int:
+        """Commit version 0 with zero segments and a pinned schema."""
+        man = Manifest(0, schema_ddl, [], {})
+        _atomic_write(os.path.join(self.root, "_versions", "0.json"), man.to_json())
+        _atomic_write(self._pointer, "0")
+        return 0
+
+    def rollback(self, version: int) -> None:
+        if not os.path.exists(os.path.join(self.root, "_versions", f"{version}.json")):
+            raise FileNotFoundError(f"no snapshot {version} for table {self.name}")
+        _atomic_write(self._pointer, str(version))
+
+
+class SnapshotStore:
+    """A warehouse of SnapshotTables plus a cross-table checkpoint log.
+
+    Iceberg commits are per-table; the reference couples item export with
+    request-ack in one flush (item_buffer.py:342-414).  We get the same
+    all-or-nothing *observable* behaviour by committing tables in a fixed
+    order and recording a checkpoint row only after every table of an
+    iteration committed; resume rolls every table back to the versions in
+    the last complete checkpoint, discarding any torn partial iteration.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(os.path.join(warehouse, "_checkpoints"), exist_ok=True)
+        self._tables: dict[str, SnapshotTable] = {}
+
+    def table(self, name: str) -> SnapshotTable:
+        if name not in self._tables:
+            self._tables[name] = SnapshotTable(self.spark, self.warehouse, name)
+        return self._tables[name]
+
+    # -- checkpoints ---------------------------------------------------------
+    @property
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.warehouse, "_checkpoints")
+
+    def checkpoint(self, label: dict, table_names: list[str]) -> int:
+        versions = {n: self.table(n).current_version() for n in table_names}
+        seq = self.last_checkpoint_seq() + 1
+        _atomic_write(
+            os.path.join(self._ckpt_dir, f"{seq:08d}.json"),
+            json.dumps({"seq": seq, "label": label, "versions": versions}),
+        )
+        _atomic_write(os.path.join(self._ckpt_dir, "_latest"), str(seq))
+        return seq
+
+    def last_checkpoint_seq(self) -> int:
+        try:
+            with open(os.path.join(self._ckpt_dir, "_latest")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def last_checkpoint(self) -> dict | None:
+        seq = self.last_checkpoint_seq()
+        if seq < 0:
+            return None
+        with open(os.path.join(self._ckpt_dir, f"{seq:08d}.json")) as f:
+            return json.load(f)
+
+    def restore_last_checkpoint(self) -> dict | None:
+        """Roll every table back to the last complete checkpoint (resume)."""
+        ckpt = self.last_checkpoint()
+        if ckpt is None:
+            return None
+        for name, version in ckpt["versions"].items():
+            if version >= 0:
+                self.table(name).rollback(version)
+        return ckpt

@@ -1,0 +1,55 @@
+"""Snapshot store: atomic versioned commits, time travel, checkpoint resume."""
+
+import pytest
+
+from feapder_spark.store import SnapshotStore
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    return SnapshotStore(spark, str(tmp_path / "warehouse"))
+
+
+def test_append_and_overwrite_versions(store, spark):
+    t = store.table("frontier")
+    df1 = spark.createDataFrame([(1, "a")], "id INT, v STRING")
+    df2 = spark.createDataFrame([(2, "b")], "id INT, v STRING")
+    v0 = t.commit(df1, mode="append")
+    v1 = t.commit(df2, mode="append")
+    assert (v0, v1) == (0, 1)
+    assert t.read().count() == 2
+    assert t.read(version=0).count() == 1  # time travel
+    t.commit(df1, mode="overwrite")
+    assert t.read().count() == 1
+
+
+def test_empty_table_has_schema(store, spark):
+    t = store.table("seen")
+    t.create_empty("fingerprint STRING, added_at TIMESTAMP")
+    df = t.read()
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["fingerprint", "added_at"]
+
+
+def test_rollback(store, spark):
+    t = store.table("t")
+    t.commit(spark.createDataFrame([(1,)], "x INT"))
+    t.commit(spark.createDataFrame([(2,)], "x INT"))
+    assert t.read().count() == 2
+    t.rollback(0)
+    assert t.read().count() == 1
+    # committing after rollback creates a fresh lineage from v0's segments
+    t.commit(spark.createDataFrame([(3,)], "x INT"))
+    assert sorted(r.x for r in t.read().collect()) == [1, 3]
+
+
+def test_checkpoint_restore(store, spark):
+    a, b = store.table("a"), store.table("b")
+    a.commit(spark.createDataFrame([(1,)], "x INT"))
+    b.commit(spark.createDataFrame([(10,)], "x INT"))
+    store.checkpoint({"iteration": 0}, ["a", "b"])
+    # a torn iteration: a commits, b doesn't, no checkpoint written
+    a.commit(spark.createDataFrame([(2,)], "x INT"))
+    ckpt = store.restore_last_checkpoint()
+    assert ckpt["label"] == {"iteration": 0}
+    assert a.read().count() == 1 and b.read().count() == 1
