@@ -1,0 +1,296 @@
+"""The crawl engine — iterative DataFrame jobs over snapshot tables.
+
+One driver loop collapses the reference's three spider lifecycles
+(AirSpider/Spider/BatchSpider, SURVEY §3) into:
+
+    while frontier has due rows:
+        batch   = politeness-gated top-k of frontier      (lease, S2/O1/O2)
+        fetched = mapInPandas resolve                      (S7)
+        parsed  = mapInPandas span+link extraction         (P5-P9)
+        new     = anti-join(candidate links, seen)         (F1/J1/F7)
+        commit seen+docs+items+failed+frontier+order+metrics as one
+        checkpointed snapshot group                        (B1/B2/K1-K6)
+
+Delivery semantics mirror the reference: at-least-once with
+claim-on-enqueue dedup (request_buffer.py:42-50), priority-ascending lease
+order with lexicographic fingerprint ties (redisdb.py:308-361), retry≤10
+routing to a failed table (parser_control.py:298-342), item export
+transactional with the fingerprint commit (item_buffer.py:351-358), and
+resume-from-checkpoint that skips re-seeding when the frontier is non-empty
+(scheduler.py:197-201).
+
+Scale notes (the 100 TB story):
+- take-batch is TakeOrderedAndProject (per-partition top-k), never a global
+  sort; the frontier scan prunes on status/priority columns.
+- the seen set is either the exact fingerprint table (anti-join, shuffle
+  bounded by candidate count — fingerprints are 16 B) or the bucketed Bloom
+  blobs (operators/seen_set.py) where only touched buckets move.
+- the frontier rewrite is the snapshot-store stand-in for an Iceberg
+  MERGE INTO with bucket(host) partition pruning; the interface point is
+  one method (_commit_frontier) so the Iceberg backend swaps in cleanly.
+- each iteration's lineage is cut by persisted micro-batch frames; state
+  never accumulates in driver memory (no collect of data rows anywhere).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feapder_spark.crawl import frontier as FR
+from feapder_spark.crawl import semantics as S
+from feapder_spark.crawl.fetcher import fetch_batch
+from feapder_spark.crawl.parser import canonicalize_udf, docs_from_parsed, link_candidates, parse_fetched
+from feapder_spark.operators.seen_set import dedup_new
+from feapder_spark.store import SnapshotStore
+
+SEEN_DDL = "fingerprint STRING, added_iteration INT"
+DOCS_DDL = (
+    "doc_id STRING, url STRING, "
+    "spans ARRAY<STRUCT<kind: STRING, text: STRING, media_ref: STRING, offset: INT>>"
+)
+ITEMS_DDL = "item_fp STRING, doc_id STRING, url STRING, title STRING, n_spans INT"
+FAILED_DDL = "fingerprint STRING, url STRING, retry_times INT, status_code INT"
+ORDER_DDL = "seq LONG, iteration INT, fingerprint STRING"
+METRICS_DDL = (
+    "iteration INT, leased LONG, fetched_ok LONG, links_new LONG, links_dup LONG, "
+    "retried LONG, failed LONG"
+)
+PART_METRICS_DDL = "iteration INT, stage STRING, partition_id INT, rows LONG"
+
+TABLES = ["frontier", "seen", "docs", "items", "failed", "crawl_order", "metrics", "metrics_partitions"]
+
+_ITEM_KEYS = ["doc_id", "n_spans", "title", "url"]  # sorted, item.py:141-153
+
+
+def item_fp_col() -> F.Column:
+    """JVM-side item fingerprint = md5 over sorted key+str(value) pairs."""
+    parts = []
+    for k in _ITEM_KEYS:
+        parts.append(F.lit(k))
+        parts.append(F.col(k).cast("string"))
+    return F.md5(F.concat(*parts))
+
+
+@dataclass
+class CrawlConfig:
+    batch_size: int = S.DEFAULT_BATCH_SIZE
+    max_retries: int = S.MAX_RETRIES
+    default_parser: str = "TestParser"
+    politeness: dict | None = None  # host -> per-iteration budget; "__default__" key
+    link_priority: int = S.DEFAULT_PRIORITY
+
+
+@dataclass
+class IterationStats:
+    iteration: int
+    leased: int
+    fetched_ok: int
+    links_new: int
+    links_dup: int
+    retried: int
+    failed: int
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, warehouse: str, resolver, config: CrawlConfig | None = None):
+        self.spark = spark
+        self.store = SnapshotStore(spark, warehouse)
+        self.resolver = resolver
+        self.cfg = config or CrawlConfig()
+        self.iteration = 0
+        self.next_seq = 0
+        self._budgets = (
+            FR.budgets_df(spark, self.cfg.politeness) if self.cfg.politeness else None
+        )
+        self._default_budget = (
+            (self.cfg.politeness or {}).get("__default__", 1_000_000_000)
+        )
+
+    # -- setup ---------------------------------------------------------------
+    def t(self, name: str):
+        return self.store.table(name)
+
+    def _init_tables(self):
+        ddls = {
+            "frontier": FR.FRONTIER_DDL,
+            "seen": SEEN_DDL,
+            "docs": DOCS_DDL,
+            "items": ITEMS_DDL,
+            "failed": FAILED_DDL,
+            "crawl_order": ORDER_DDL,
+            "metrics": METRICS_DDL,
+            "metrics_partitions": PART_METRICS_DDL,
+        }
+        for name, ddl in ddls.items():
+            if not self.t(name).exists():
+                self.t(name).create_empty(ddl)
+
+    def seed(self, seeds: list[dict]) -> bool:
+        """Seed the frontier; skipped when a frontier already exists
+        (resume semantics, scheduler.py:197-201).  Returns True if seeded."""
+        self._init_tables()
+        if self.t("frontier").read().limit(1).count() > 0:
+            return False
+        df = self.spark.createDataFrame(
+            [
+                (s["url"], int(s.get("priority", S.DEFAULT_PRIORITY)), s.get("parser_name", self.cfg.default_parser))
+                for s in seeds
+            ],
+            "url STRING, priority INT, parser_name STRING",
+        )
+        cands = (
+            df.withColumn("url_canon", canonicalize_udf("url"))
+            .withColumn("fingerprint", F.md5("url_canon"))
+            .withColumn("host", F.lower(F.coalesce(F.parse_url("url_canon", F.lit("HOST")), F.lit(""))))
+            .withColumn("retry_times", F.lit(0))
+        )
+        new_rows = dedup_new(cands, self.t("seen").read(), order_cols=("priority", "url")).withColumn(
+            "status", F.lit(S.STATUS_TODO)
+        )
+        new_rows = new_rows.select(*self._frontier_cols()).persist()
+        self.t("frontier").commit(new_rows, mode="append")
+        self.t("seen").commit(
+            new_rows.select("fingerprint").withColumn("added_iteration", F.lit(-1)), mode="append"
+        )
+        self.store.checkpoint({"iteration": 0, "next_seq": 0}, TABLES)
+        new_rows.unpersist()
+        return True
+
+    @staticmethod
+    def _frontier_cols():
+        return ["fingerprint", "url", "url_canon", "host", "priority", "retry_times", "parser_name", "status"]
+
+    # -- the loop -------------------------------------------------------------
+    def run(self, max_iterations: int | None = None) -> list[IterationStats]:
+        stats = []
+        while max_iterations is None or len(stats) < max_iterations:
+            st = self._iterate()
+            if st is None:
+                break
+            stats.append(st)
+        return stats
+
+    def resume(self) -> dict | None:
+        """Roll state back to the last complete checkpoint and restore the
+        loop counters; then call run()."""
+        ckpt = self.store.restore_last_checkpoint()
+        if ckpt:
+            self.iteration = ckpt["label"]["iteration"]
+            self.next_seq = ckpt["label"]["next_seq"]
+        return ckpt
+
+    def _iterate(self) -> IterationStats | None:
+        cfg = self.cfg
+        frontier_df = self.t("frontier").read()
+        due = frontier_df.filter(F.col("status") == S.STATUS_TODO)
+        batch = FR.take_batch(due, cfg.batch_size, self._budgets, self._default_budget)
+        batch = FR.with_lease_seq(batch, self.next_seq).persist()
+        leased = batch.count()
+        if leased == 0:
+            batch.unpersist()
+            return None
+
+        fetched = fetch_batch(batch, self.resolver).persist()
+        ok = fetched.filter(F.col("status_code") == 200)
+        parsed = parse_fetched(ok).persist()
+        fetched_ok = parsed.count()
+
+        # --- discovered links → claim-on-enqueue dedup ---
+        cands = (
+            link_candidates(parsed)
+            .withColumn("priority", F.lit(cfg.link_priority))
+            .withColumn("retry_times", F.lit(0))
+            .withColumn("parser_name", F.lit(cfg.default_parser))
+        )
+        seen_df = self.t("seen").read()
+        new_rows = (
+            dedup_new(cands, seen_df, order_cols=("priority", "url"))
+            .withColumn("status", F.lit(S.STATUS_TODO))
+            .select(*self._frontier_cols())
+            .persist()
+        )
+        links_total = cands.count()
+        links_new = new_rows.count()
+
+        # --- retry / failed routing ---
+        failures = fetched.filter(F.col("status_code") != 200)
+        routed = FR.route_failures(
+            failures.select(*self._frontier_cols(), "status_code"), cfg.max_retries
+        ).persist()
+        retries = routed.filter(F.col("route") == S.STATUS_TODO).select(*self._frontier_cols())
+        failed_new = routed.filter(F.col("route") == S.STATUS_FAILED).select(
+            "fingerprint", "url", "retry_times", "status_code"
+        )
+        retried_n = retries.count()
+        failed_n = failed_new.count()
+
+        # --- items (export-then-commit-fingerprint, item_buffer.py:351-358) ---
+        item_rows = parsed.select(
+            F.col("fingerprint").alias("doc_id"),
+            F.col("url_canon").alias("url"),
+            "title",
+            "n_spans",
+        ).withColumn("item_fp", item_fp_col())
+        items_new = item_rows.join(
+            self.t("items").read().select("item_fp"), on="item_fp", how="left_anti"
+        ).select("item_fp", "doc_id", "url", "title", "n_spans")
+
+        # --- per-partition lineage metrics ---
+        part_metrics = (
+            fetched.groupBy(F.col("fetch_partition").alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .withColumn("stage", F.lit("fetch"))
+            .unionByName(
+                parsed.groupBy(F.col("parse_partition").alias("partition_id"))
+                .agg(F.count("*").alias("rows"))
+                .withColumn("stage", F.lit("parse"))
+            )
+            .withColumn("iteration", F.lit(self.iteration))
+            .select("iteration", "stage", "partition_id", "rows")
+        )
+
+        # --- commits, fixed order; checkpoint marks the iteration complete ---
+        self.t("seen").commit(
+            new_rows.select("fingerprint").withColumn("added_iteration", F.lit(self.iteration)),
+            mode="append",
+        )
+        self.t("docs").commit(docs_from_parsed(parsed), mode="append")
+        self.t("items").commit(items_new, mode="append")
+        self.t("failed").commit(failed_new, mode="append")
+
+        remaining = frontier_df.join(batch.select("fingerprint"), on="fingerprint", how="left_anti")
+        new_frontier = remaining.unionByName(retries).unionByName(new_rows)
+        self.t("frontier").commit(new_frontier, mode="overwrite")
+
+        self.t("crawl_order").commit(
+            batch.select("seq", F.lit(self.iteration).alias("iteration"), "fingerprint"),
+            mode="append",
+        )
+        st = IterationStats(
+            iteration=self.iteration,
+            leased=leased,
+            fetched_ok=fetched_ok,
+            links_new=links_new,
+            links_dup=links_total - links_new,
+            retried=retried_n,
+            failed=failed_n,
+        )
+        self.t("metrics").commit(
+            self.spark.createDataFrame(
+                [(st.iteration, st.leased, st.fetched_ok, st.links_new, st.links_dup, st.retried, st.failed)],
+                METRICS_DDL,
+            ),
+            mode="append",
+        )
+        self.t("metrics_partitions").commit(part_metrics, mode="append")
+
+        self.iteration += 1
+        self.next_seq += leased
+        self.store.checkpoint({"iteration": self.iteration, "next_seq": self.next_seq}, TABLES)
+
+        for df in (batch, fetched, parsed, new_rows, routed):
+            df.unpersist()
+        return st

@@ -1,0 +1,88 @@
+"""Frontier operators: take-batch (lease), politeness gating, retry routing.
+
+The reference frontier is a Redis zset with score=priority and a Lua
+lease-take of the lowest-score members (collector.py:56-80 →
+redisdb.py:472-523).  Here the frontier is a table and take-batch is the
+pinned ordering contract (semantics.py ORDER_COLS):
+
+    ORDER BY priority ASC, fingerprint ASC LIMIT k
+
+which Catalyst executes as ``TakeOrderedAndProject`` — a per-partition
+top-k + driver merge of k·P candidate rows, **not** a global sort: exactly
+the plan that survives a 10^10-row frontier (each partition contributes at
+most k rows to the driver).
+
+Politeness (graft addition, north rule; reference's only throttle is the
+global sleep at parser_control.py:412-422) is a per-host rank gate *before*
+the global top-k: ``row_number() OVER (PARTITION BY host ORDER BY priority,
+fingerprint) <= budget(host)``.  Budgets are a tiny dimension table —
+broadcast joined.  Hot hosts (Zipf head) are thereby bounded per iteration,
+which is also the skew bound for the host-partitioned fetch stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feapder_spark.crawl import semantics as S
+
+FRONTIER_DDL = (
+    "fingerprint STRING, url STRING, url_canon STRING, host STRING, "
+    "priority INT, retry_times INT, parser_name STRING, status STRING"
+)
+
+
+def budgets_df(spark: SparkSession, budgets: dict[str, int]) -> DataFrame:
+    rows = [(h, int(b)) for h, b in budgets.items() if h != "__default__"]
+    return spark.createDataFrame(rows, "host STRING, budget INT")
+
+
+def eligible_under_politeness(
+    due: DataFrame, budgets: DataFrame | None, default_budget: int = 1_000_000_000
+) -> DataFrame:
+    """Keep at most budget(host) due rows per host, chosen in the lease order."""
+    if budgets is None:
+        return due
+    w = Window.partitionBy("host").orderBy(*[F.col(c) for c in S.ORDER_COLS])
+    ranked = due.withColumn("_host_rank", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(budgets), on="host", how="left")
+        .filter(F.col("_host_rank") <= F.coalesce(F.col("budget"), F.lit(default_budget)))
+        .drop("_host_rank", "budget")
+    )
+
+
+def take_batch(
+    due: DataFrame,
+    k: int,
+    budgets: DataFrame | None = None,
+    default_budget: int = 1_000_000_000,
+) -> DataFrame:
+    """Lease the next batch: politeness gate → global top-k by (priority, fp).
+
+    Compiles to window + TakeOrderedAndProject; no global sort, no collect.
+    """
+    eligible = eligible_under_politeness(due, budgets, default_budget)
+    return eligible.orderBy(*[F.col(c) for c in S.ORDER_COLS]).limit(k)
+
+
+def with_lease_seq(batch: DataFrame, seq_start: int) -> DataFrame:
+    """Assign the global lease sequence within the (bounded, ≤k-row) batch.
+
+    The single-partition window is safe here precisely because the batch is
+    bounded by k — this is the one place a global order materializes.
+    """
+    w = Window.orderBy(*[F.col(c) for c in S.ORDER_COLS])
+    return batch.withColumn("seq", F.row_number().over(w) + F.lit(seq_start) - 1)
+
+
+def route_failures(failures: DataFrame, max_retries: int = S.MAX_RETRIES) -> DataFrame:
+    """Retry/failed routing (parser_control.py:298-301, semantics.failure_route):
+    adds ``route`` ('todo'=retry | 'failed') and increments retry_times."""
+    return failures.withColumn(
+        "route",
+        F.when(F.col("retry_times") + 1 > max_retries, F.lit(S.STATUS_FAILED)).otherwise(
+            F.lit(S.STATUS_TODO)
+        ),
+    ).withColumn("retry_times", F.col("retry_times") + 1)

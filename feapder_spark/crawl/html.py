@@ -1,0 +1,156 @@
+"""HTML processing — span extraction, link extraction, absolutization.
+
+Pure Python, shared verbatim by the Spark parse UDF and the pure-Python
+reference oracle so span semantics can never diverge between them.
+
+Reference semantics reproduced (citations into /root/reference):
+
+- absolute-link rewriting of ``a@href, img@src, link@href, script@src`` with
+  four regexes applied in that fixed order (network/response.py:212-232);
+  regex patterns match the reference's (response.py:213-218).
+- control-character stripping ``[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]``
+  (response.py:30-37, 234-241) applied before extraction.
+- link extraction: ``<a href>`` regex, order-preserving dedup, substring
+  stop-list (utils/tools.py:421-455 ``get_urls``).
+- span sequence: the interleaved text+media document model of the
+  ``input_hint`` — text spans are the visible text segments between tags in
+  source order; media spans are img/link/script refs in source order; each
+  span carries its 0-based position.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin
+
+# response.py:213-218 — same four patterns, same order (a, img, link, script)
+_ABS_REGEXES = [
+    re.compile(r'(<a.*?href\s*?=\s*?["\'])(.+?)(["\'])', re.S | re.I),
+    re.compile(r'(<img.*?src\s*?=\s*?["\'])(.+?)(["\'])', re.S | re.I),
+    re.compile(r'(<link.*?href\s*?=\s*?["\'])(.+?)(["\'])', re.S | re.I),
+    re.compile(r'(<script.*?src\s*?=\s*?["\'])(.+?)(["\'])', re.S | re.I),
+]
+
+# response.py:30-37
+_CONTROL_CHARS = re.compile("[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]")
+
+# tools.py:439 — anchor href extraction regex
+_A_HREF = re.compile(r'<a.*?href.*?=.*?["|\'](.*?)["|\']', re.S | re.I)
+
+# tools.py:422-437 — default stop-list (substring match)
+STOP_URLS = (
+    "javascript",
+    "+",
+    ".css",
+    ".js",
+    ".rar",
+    ".xls",
+    ".exe",
+    ".apk",
+    ".doc",
+    ".jpg",
+    ".png",
+    ".flv",
+    ".mp4",
+)
+
+# media span sources, in-document order: img@src, link@href, script@src
+_MEDIA_TAG = re.compile(
+    r'<img[^>]*?src\s*=\s*["\'](?P<img>[^"\']+)["\']'
+    r'|<link[^>]*?href\s*=\s*["\'](?P<link>[^"\']+)["\']'
+    r'|<script[^>]*?src\s*=\s*["\'](?P<script>[^"\']+)["\']',
+    re.S | re.I,
+)
+
+_TAG = re.compile(r"<[^>]+>")
+
+
+def strip_control_chars(text: str) -> str:
+    return _CONTROL_CHARS.sub("", text)
+
+
+def make_absolute(base_url: str, link: str) -> str:
+    """Relative→absolute (response.py:181-210 / tools.py:458-468 urljoin)."""
+    if not link:
+        return link
+    try:
+        return urljoin(base_url, link)
+    except ValueError:
+        return link
+
+
+def absolutize_links(base_url: str, html: str) -> str:
+    """Rewrite the four tag/attr patterns in fixed order (response.py:212-232)."""
+    for regex in _ABS_REGEXES:
+        html = regex.sub(lambda m: m.group(1) + make_absolute(base_url, m.group(2)) + m.group(3), html)
+    return html
+
+
+def extract_links(html: str, stop_urls: tuple[str, ...] = STOP_URLS) -> list[str]:
+    """tools.get_urls semantics: regex scan, order-preserving dedup,
+    substring stop-list (tools.py:421-455)."""
+    urls = _A_HREF.findall(html)
+    urls = sorted(set(urls), key=urls.index)
+    out = []
+    for url in urls:
+        if not any(stop in url for stop in stop_urls):
+            out.append(url)
+    return out
+
+
+def extract_spans(html: str) -> list[dict]:
+    """Interleaved text+media span sequence (the input_hint document model).
+
+    Scans the document once in source order: every img/link/script ref is a
+    media span; every non-empty visible text segment between tags is a text
+    span.  Returns ``[{kind, text, media_ref, offset}, ...]`` with 0-based
+    offsets.  Run on html that has already been absolutized + control-char
+    stripped (same ordering as the reference's text pipeline,
+    response.py:126-241).
+    """
+    spans: list[dict] = []
+
+    # collect media positions first so text segmentation can interleave
+    media = [
+        (m.start(), m.group("img") or m.group("link") or m.group("script"))
+        for m in _MEDIA_TAG.finditer(html)
+    ]
+
+    # visible text segments: strip every tag, keep the segment start offsets
+    text_segments = []
+    pos = 0
+    for m in _TAG.finditer(html):
+        seg = html[pos : m.start()]
+        if seg.strip():
+            text_segments.append((pos, seg.strip()))
+        pos = m.end()
+    tail = html[pos:]
+    if tail.strip():
+        text_segments.append((pos, tail.strip()))
+
+    merged = sorted(
+        [(p, "media", ref) for p, ref in media] + [(p, "text", t) for p, t in text_segments]
+    )
+    for offset, (pos, kind, payload) in enumerate(merged):
+        if kind == "media":
+            spans.append({"kind": "media", "text": "", "media_ref": payload, "offset": offset})
+        else:
+            spans.append({"kind": "text", "text": payload, "media_ref": "", "offset": offset})
+    return spans
+
+
+def parse_document(base_url: str, raw_html: str) -> tuple[list[dict], list[str], str]:
+    """Full reference-ordered parse pipeline for one fetched page:
+    control-char strip → absolute-link rewrite → (spans, links, title).
+
+    Returns (spans, links, title).  Links are absolute (extraction happens on
+    the rewritten html, matching the reference flow where ``response.text``
+    is already rewritten when parsers call ``get_urls``).
+    """
+    html = strip_control_chars(raw_html)
+    html = absolutize_links(base_url, html)
+    spans = extract_spans(html)
+    links = extract_links(html)
+    m = re.search(r"<title[^>]*>(.*?)</title>", html, re.S | re.I)
+    title = m.group(1).strip() if m else ""
+    return spans, links, title

@@ -1,0 +1,127 @@
+"""Pure-Python reference-semantics oracle (SURVEY §7 M0).
+
+A ~150-line sequential implementation of the pinned crawl contract
+(crawl/semantics.py) over the synthetic web.  It produces the golden
+outputs the Spark engine must reproduce exactly:
+
+- ``crawl_order``: fingerprints in lease order (priority ASC, fingerprint
+  ASC, batch-at-a-time — the zset contract, redisdb.py:308-361)
+- final ``seen`` fingerprint set (claim-on-enqueue, request_buffer.py:42-50)
+- ``docs``: per-document span sequences (kind, text, media_ref, offset)
+- ``failed`` fingerprints (retry>max routing, parser_control.py:298-301)
+- ``items`` with item fingerprints (item.py:141-153)
+- per-iteration metrics
+
+No Spark, no threads — the whole point is an independent, obviously-correct
+serial reading of the reference semantics to diff the distributed engine
+against (SURVEY §5 test plan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from feapder_spark.crawl import html as H
+from feapder_spark.crawl import semantics as S
+from feapder_spark.crawl.synthweb import SyntheticWeb
+from feapder_spark.urlnorm import canonicalize_url, get_md5, host_of
+
+
+@dataclass
+class OracleResult:
+    crawl_order: list[str] = field(default_factory=list)  # fingerprints in lease order
+    seen: set = field(default_factory=set)
+    docs: dict = field(default_factory=dict)  # doc_id -> list[span dict]
+    failed: set = field(default_factory=set)
+    items: dict = field(default_factory=dict)  # item fingerprint -> item dict
+    metrics: list = field(default_factory=list)
+    iterations: int = 0
+
+
+def run_oracle(
+    web: SyntheticWeb,
+    seeds: list[dict],
+    batch_size: int = S.DEFAULT_BATCH_SIZE,
+    max_retries: int = S.MAX_RETRIES,
+    max_iterations: int | None = None,
+    politeness: dict[str, int] | None = None,
+) -> OracleResult:
+    res = OracleResult()
+    # frontier: fingerprint -> row dict
+    frontier: dict[str, dict] = {}
+
+    def enqueue(url: str, priority: int, *, claim: bool = True, retry_times: int = 0) -> None:
+        canon = canonicalize_url(url)
+        fp = get_md5(canon)
+        if claim:
+            if fp in res.seen:
+                return  # claim-on-enqueue dedup (request_buffer.py:42-50)
+            res.seen.add(fp)
+        frontier[fp] = {
+            "fingerprint": fp,
+            "url": url,
+            "url_canon": canon,
+            "host": host_of(url),
+            "priority": priority,
+            "retry_times": retry_times,
+            "status": S.STATUS_TODO,
+        }
+
+    for seed in seeds:
+        enqueue(seed["url"], seed.get("priority", S.DEFAULT_PRIORITY))
+
+    while True:
+        if max_iterations is not None and res.iterations >= max_iterations:
+            break
+        due = [r for r in frontier.values() if r["status"] == S.STATUS_TODO]
+        # politeness: per-host rank (priority, fp) must stay within budget
+        if politeness:
+            default_budget = politeness.get("__default__", 10**9)
+            per_host_count: dict[str, int] = {}
+            eligible = []
+            for r in sorted(due, key=lambda r: (r["priority"], r["fingerprint"])):
+                budget = politeness.get(r["host"], default_budget)
+                c = per_host_count.get(r["host"], 0)
+                if c < budget:
+                    per_host_count[r["host"]] = c + 1
+                    eligible.append(r)
+        else:
+            eligible = due
+        batch = sorted(eligible, key=lambda r: (r["priority"], r["fingerprint"]))[:batch_size]
+        if not batch:
+            break
+        m = {"iteration": res.iterations, "leased": len(batch), "fetched_ok": 0,
+             "links_new": 0, "links_dup": 0, "retried": 0, "failed": 0}
+        for r in batch:
+            res.crawl_order.append(r["fingerprint"])
+            status, raw = web.resolve(r["url"], attempt=r["retry_times"])
+            if status == 200:
+                m["fetched_ok"] += 1
+                spans, links, title = H.parse_document(r["url_canon"], raw)
+                doc_id = r["fingerprint"]
+                res.docs[doc_id] = spans
+                item = {"doc_id": doc_id, "url": r["url_canon"], "title": title, "n_spans": len(spans)}
+                ifp = S.item_fingerprint(item)
+                if ifp not in res.items:  # item dedup (item_buffer.py:180-217)
+                    res.items[ifp] = item
+                for link in links:
+                    before = len(res.seen)
+                    enqueue(link, S.DEFAULT_PRIORITY)
+                    if len(res.seen) > before:
+                        m["links_new"] += 1
+                    else:
+                        m["links_dup"] += 1
+                del frontier[r["fingerprint"]]  # ack (zrem)
+            else:
+                route = S.failure_route(r["retry_times"], max_retries)
+                if route == S.STATUS_FAILED:
+                    m["failed"] += 1
+                    res.failed.add(r["fingerprint"])
+                    del frontier[r["fingerprint"]]
+                else:
+                    m["retried"] += 1
+                    # retry re-enqueue, no dedup (parser_control.py:344-377)
+                    r["retry_times"] += 1
+        res.metrics.append(m)
+        res.iterations += 1
+    return res

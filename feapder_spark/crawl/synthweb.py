@@ -1,0 +1,167 @@
+"""Deterministic synthetic web — the fetch resolver for tests and benches.
+
+No network exists in this sandbox (and the north rule's bench input must be
+synthesized), so fetch is a pure function ``resolve(url, attempt) →
+(status_code, html)`` keyed only on (seed, url, attempt).  The same object
+drives the Spark fetch UDF and the pure-Python oracle.
+
+Shape (FIXTURES.md §9): ``n_hosts`` hosts with Zipf(s)-skewed in-link
+popularity (hot-domain skew exercises politeness + salting), ``pages_per_host``
+pages each, pages made of interleaved text paragraphs and media refs
+(img/link/script), anchors including: relative links, unsorted-query links
+(canonicalization exercise), duplicate links (dedup exercise), stop-list
+links (javascript/.css/.jpg — filter exercise, tools.py:421-455), and links
+into an always-failing host (retry/failed-path exercise,
+parser_control.py:298-342).  A deterministic subset of URLs is *flaky*:
+fails the first ``flaky_failures`` attempts then succeeds (retry-success
+path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+BAD_HOST = "host-bad.test"
+
+_WORDS = (
+    "spark frontier crawl fetch parse dedup priority lease retry batch "
+    "snapshot commit bloom bucket shard shuffle skew salt host page link "
+    "media span text token vector stream window merge join scan filter"
+).split()
+
+
+def _h(parts: str, seed: int) -> int:
+    """Deterministic 64-bit stream from (seed, parts)."""
+    d = hashlib.md5(f"{seed}:{parts}".encode()).digest()
+    return int.from_bytes(d[:8], "big")
+
+
+@dataclass
+class SyntheticWeb:
+    n_hosts: int = 50
+    pages_per_host: int = 40
+    seed: int = 42
+    zipf_s: float = 1.2
+    n_links: int = 8
+    flaky_every: int = 7  # every k-th url (by hash) is flaky
+    flaky_failures: int = 2  # flaky urls fail this many attempts, then succeed
+    _zipf_cum: list = field(default_factory=list, init=False, repr=False)
+
+    def __post_init__(self):
+        weights = [1.0 / ((i + 1) ** self.zipf_s) for i in range(self.n_hosts)]
+        total = sum(weights)
+        acc, cum = 0.0, []
+        for w in weights:
+            acc += w / total
+            cum.append(acc)
+        self._zipf_cum = cum
+
+    # -- url helpers --------------------------------------------------------
+    def url(self, host_i: int, page_j: int) -> str:
+        return f"http://host-{host_i}.test/page-{page_j}"
+
+    def seeds(self, n_seeds: int = 20) -> list[dict]:
+        """Seed list (FIXTURES.md §2): mostly page-0 of the first hosts at
+        default priority 300, a few at 100/500 to exercise ordering."""
+        out = []
+        for i in range(n_seeds):
+            host = i % self.n_hosts
+            prio = 100 if i % 7 == 3 else (500 if i % 11 == 5 else 300)
+            out.append({"url": self.url(host, 0), "priority": prio, "parser_name": "TestParser"})
+        return out
+
+    def _zipf_host(self, x: int) -> int:
+        u = (x % 10**9) / 10**9
+        for i, c in enumerate(self._zipf_cum):
+            if u <= c:
+                return i
+        return self.n_hosts - 1
+
+    def _is_flaky(self, url: str) -> bool:
+        return _h("flaky:" + url, self.seed) % self.flaky_every == 0
+
+    # -- page generation -----------------------------------------------------
+    def gen_page(self, url: str) -> str:
+        """Deterministic page: interleaved <p> text and media tags + anchors."""
+        r = lambda tag, i=0: _h(f"{tag}:{i}:{url}", self.seed)  # noqa: E731
+        n_paras = 2 + r("np") % 4
+        parts = [f"<html><head><title>Page {url.rsplit('/', 1)[-1]} of {url.split('/')[2]}</title>"]
+        if r("headcss") % 3 == 0:
+            parts.append(f'<link rel="stylesheet" href="/static/style-{r("css") % 5}.css">')
+        parts.append("</head><body>")
+        for p in range(n_paras):
+            words = " ".join(_WORDS[r("w", p * 31 + w) % len(_WORDS)] for w in range(6 + r("wl", p) % 10))
+            parts.append(f"<p>{words}</p>")
+            if r("img", p) % 2 == 0:
+                parts.append(f'<img src="/media/img-{r("imgid", p) % 200}.webp" alt="">')
+        if r("script") % 4 == 0:
+            parts.append(f'<script src="/static/app-{r("js") % 3}.min"></script>')
+
+        # anchors
+        anchors = []
+        n_links = 1 + r("nl") % self.n_links
+        for li in range(n_links):
+            x = r("link", li)
+            kind = x % 10
+            if kind == 0:  # stop-list exercise
+                stop = ["javascript:void(0)", "/assets/pic.jpg", "/theme.css", "/sheet.xls"][x % 4]
+                anchors.append(stop)
+            elif kind == 1:  # bad-host link (always fails → retry→failed path)
+                anchors.append(f"http://{BAD_HOST}/page-{x % 5}")
+            else:
+                host = self._zipf_host(x)
+                page = r("tp", li) % self.pages_per_host
+                form = x % 4
+                target = self.url(host, page)
+                if form == 0:  # relative link
+                    anchors.append(f"/page-{page}" if f"host-{host}.test" == url.split("/")[2] else target)
+                elif form == 1:  # unsorted query params → canonicalization exercise
+                    anchors.append(f"{target}?b=2&a=1")
+                elif form == 2 and anchors:  # duplicate of a previous link → dedup exercise
+                    anchors.append(anchors[-1])
+                else:
+                    anchors.append(target)
+        for a in anchors:
+            parts.append(f'<a href="{a}">anchor {_WORDS[_h(a, self.seed) % len(_WORDS)]}</a>')
+        parts.append("</body></html>")
+        return "".join(parts)
+
+    # -- the resolver ---------------------------------------------------------
+    def resolve(self, url: str, attempt: int = 0) -> tuple[int, str]:
+        """Pure fetch: (status_code, html).  attempt = current retry_times."""
+        try:
+            host = url.split("/")[2]
+        except IndexError:
+            return 400, ""
+        if host == BAD_HOST:
+            return 503, ""
+        if not (host.startswith("host-") and host.endswith(".test")):
+            return 404, ""
+        try:
+            host_i = int(host[len("host-") : -len(".test")])
+        except ValueError:
+            return 404, ""
+        path = url.split("/", 3)[3] if url.count("/") >= 3 else ""
+        page_part = path.split("?")[0]
+        if not page_part.startswith("page-"):
+            return 404, ""
+        try:
+            page_j = int(page_part[len("page-") :])
+        except ValueError:
+            return 404, ""
+        if host_i >= self.n_hosts or page_j >= self.pages_per_host:
+            return 404, ""
+        canonical = self.url(host_i, page_j)
+        if self._is_flaky(canonical) and attempt < self.flaky_failures:
+            return 503, ""
+        return 200, self.gen_page(canonical)
+
+    def politeness_budgets(self, default_per_iter: int = 1_000_000, hot_cap: int = 4) -> dict[str, int]:
+        """Per-host max fetches per iteration; hot (low-index Zipf) hosts get
+        a tight cap so the politeness scheduler is actually exercised."""
+        budgets = {}
+        for i in range(min(3, self.n_hosts)):
+            budgets[f"host-{i}.test"] = hot_cap
+        budgets["__default__"] = default_per_iter
+        return budgets

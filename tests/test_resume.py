@@ -1,0 +1,39 @@
+"""Resume-from-checkpoint: kill after k iterations, restart, final state
+equals the uninterrupted run (SURVEY §5 test plan #3)."""
+
+from feapder_spark.crawl.engine import CrawlConfig, CrawlEngine
+from feapder_spark.crawl.oracle import run_oracle
+from feapder_spark.crawl.synthweb import SyntheticWeb
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path):
+    web = SyntheticWeb(n_hosts=6, pages_per_host=5, seed=42)
+    seeds = web.seeds(6)
+    golden = run_oracle(web, seeds, batch_size=12)
+
+    # run 1: stop after 3 iterations ("crash")
+    e1 = CrawlEngine(spark, str(tmp_path / "wh"), web, CrawlConfig(batch_size=12))
+    e1.seed(seeds)
+    e1.run(max_iterations=3)
+
+    # simulate a torn iteration: a partial commit with no checkpoint
+    e1.t("seen").commit(
+        spark.createDataFrame([("deadbeef", 99)], "fingerprint STRING, added_iteration INT"),
+        mode="append",
+    )
+
+    # run 2: a fresh engine on the same warehouse resumes and finishes
+    e2 = CrawlEngine(spark, str(tmp_path / "wh"), web, CrawlConfig(batch_size=12))
+    ckpt = e2.resume()
+    assert ckpt is not None and ckpt["label"]["iteration"] == 3
+    assert e2.seed(seeds) is False  # frontier non-empty ⇒ no re-seed
+    e2.run()
+
+    order = [
+        r.fingerprint
+        for r in e2.t("crawl_order").read().orderBy("seq").select("fingerprint").collect()
+    ]
+    seen = {r.fingerprint for r in e2.t("seen").read().collect()}
+    assert "deadbeef" not in seen, "torn partial commit must be discarded on resume"
+    assert order == golden.crawl_order
+    assert seen == golden.seen
