@@ -1,0 +1,92 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force cosine top-k against one query vector:
+  the correctness baseline.  Dot products via ``zip_with``+``aggregate``
+  (JVM higher-order functions, no Python); top-k is TakeOrderedAndProject.
+- :func:`lsh_buckets` — sign-LSH bucketing on the first ``n_bits``
+  dimensions (deterministic, engine-portable).  The scale path: a query
+  probes only its own bucket, turning an O(N) scan into O(N/2^bits).
+- :func:`ivf_topk` — the bucketed ("IVF-style") search using those buckets.
+
+Floats: inputs are float32; every arithmetic step is forced to double and
+results rounded, so the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def with_cosine(df: DataFrame, query_vec_col, emb_col: str = "embedding") -> DataFrame:
+    cos = _dot(F.col(emb_col), query_vec_col) / (_norm(F.col(emb_col)) * _norm(query_vec_col))
+    return df.withColumn("cos", F.round(cos, 6))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Brute-force top-k by cosine to the vector of ``query_vec_id``.
+
+    The single query row is broadcast (crossJoin with a 1-row frame);
+    ordering ties break on vec_id so the result is total-ordered.
+    """
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = with_cosine(
+        embeddings.filter(F.col("vec_id") != query_vec_id).crossJoin(F.broadcast(q)),
+        F.col("qvec"),
+    )
+    return (
+        scored.select("vec_id", "label", "cos")
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def bucket_expr(emb_col: str = "embedding", n_bits: int = 8):
+    """Sign-LSH bucket id from the first n_bits dimensions (1-indexed
+    element_at, identical to DuckDB list indexing)."""
+    b = F.lit(0)
+    for i in range(n_bits):
+        b = b + F.when(F.element_at(F.col(emb_col), i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def lsh_buckets(embeddings: DataFrame, n_bits: int = 8) -> DataFrame:
+    """Bucket histogram: (bucket, n_vecs)."""
+    return (
+        embeddings.select(bucket_expr(n_bits=n_bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 5, n_bits: int = 8) -> DataFrame:
+    """Bucketed ANN: search only the query's own sign-LSH bucket."""
+    with_b = embeddings.withColumn("bucket", bucket_expr(n_bits=n_bits))
+    q = with_b.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    cands = with_b.join(F.broadcast(q), on=F.col("bucket") == F.col("qbucket")).filter(
+        F.col("vec_id") != query_vec_id
+    )
+    scored = with_cosine(cands, F.col("qvec"))
+    return (
+        scored.select("vec_id", "label", "bucket", "cos")
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )

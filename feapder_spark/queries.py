@@ -1,0 +1,636 @@
+"""Query registry: every SURVEY §2 operator family exposed as a
+(spark_fn, oracle_sql) pair over the driver's test tables.
+
+The driver runs each Spark query and its DuckDB oracle side-by-side at
+sf=0.01 and compares row-count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides,
+- counts/lengths are cast to BIGINT on both sides,
+- float results are forced to double and rounded before output,
+- timestamps are truncated/cast to DATE or formatted strings.
+
+The crawl-loop operators (lease top-k, seen anti-join, in-batch dup mark,
+retry routing, task rollups, visibility predicates...) are expressed over
+the TPC-H-ish tables — the *operator* is what's under test; the engine
+applies the same shapes to the frontier tables (crawl/).  The training-data
+operators (dedup/minhash/simhash/similarity/text stats) run on the
+documents/embeddings tables directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feapder_spark.operators import minhash as MH
+from feapder_spark.operators import similarity as SIM
+from feapder_spark.operators import textstats as TS
+
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# Crawl-loop operators (SURVEY §2.1-2.9) over the TPC-H-ish tables
+# ===========================================================================
+
+
+@register(
+    "frontier_topk_lease",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS priority_score
+    FROM orders ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 100
+    """,
+)
+def frontier_topk_lease(spark, sf_dir):
+    """O1/O2: lease batch = top-k by (priority asc, key lex asc);
+    TakeOrderedAndProject, never a global sort (collector.py:56-80 analog)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("priority_score"))
+        .orderBy(F.asc("priority_score"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "seen_antijoin",
+    """
+    SELECT DISTINCT l_orderkey FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def seen_antijoin(spark, sf_dir):
+    """F1/J1: claim-on-enqueue dedup = left-anti join candidates vs seen set
+    (request_buffer.py:42-50 analog)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    seen = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return li.join(seen, li.l_orderkey == seen.o_orderkey, "left_anti")
+
+
+@register(
+    "inbatch_dup_mark",
+    """
+    SELECT doc_id, md5(source) AS fp,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(source) ORDER BY doc_id) > 1
+                THEN 1 ELSE 0 END AS seen_before
+    FROM documents
+    """,
+)
+def inbatch_dup_mark(spark, sf_dir):
+    """F7: in-batch duplicate marking — 2nd+ occurrence of a fingerprint
+    counts as existing (litefilter.py:57-68; window row_number)."""
+    d = _t(spark, sf_dir, "documents").withColumn("fp", F.md5("source"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return d.select(
+        "doc_id", "fp", (F.row_number().over(w) > 1).cast("int").alias("seen_before")
+    )
+
+
+@register(
+    "retry_route",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber + 1 > 4 THEN 'failed' ELSE 'todo' END AS route
+    FROM lineitem
+    """,
+)
+def retry_route(spark, sf_dir):
+    """F5/R1: retry/failed routing predicate (parser_control.py:298-301;
+    retry_times+1 > max ⇒ failed)."""
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") + 1 > 4, F.lit("failed")).otherwise(F.lit("todo")).alias("route"),
+    )
+
+
+@register(
+    "task_state_rollup",
+    """
+    SELECT o_orderstatus AS state, CAST(count(*) AS BIGINT) AS n_tasks
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def task_state_rollup(spark, sf_dir):
+    """A1: task-state rollup GROUP BY state (batch_spider.py:419-437)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("state"))
+        .agg(F.count("*").alias("n_tasks"))
+    )
+
+
+@register(
+    "batch_progress",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS batch_month,
+           CAST(count(*) AS BIGINT) AS total_count,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS done_count,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS done_ratio
+    FROM orders GROUP BY 1
+    """,
+)
+def batch_progress(spark, sf_dir):
+    """A2/A5: batch_record progress rollup (batch_spider.py:439-468) —
+    done/total per calendar batch window."""
+    o = _t(spark, sf_dir, "orders")
+    done = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    return o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("batch_month")
+    ).agg(
+        F.count("*").alias("total_count"),
+        done.alias("done_count"),
+        F.round(done * 1.0 / F.count("*"), 4).alias("done_ratio"),
+    )
+
+
+@register(
+    "politeness_host_rank",
+    """
+    SELECT event_id, user_id FROM (
+        SELECT event_id, user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        FROM events) WHERE rk <= 3
+    """,
+)
+def politeness_host_rank(spark, sf_dir):
+    """B4/O1: per-host token-bucket gate = row_number per partition key
+    within budget (frontier.py eligible_under_politeness shape)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_id", "user_id")
+    )
+
+
+@register(
+    "stoplist_filter",
+    """
+    SELECT doc_id FROM documents
+    WHERE text NOT LIKE '%vector%' AND text NOT LIKE '%window%'
+    """,
+)
+def stoplist_filter(spark, sf_dir):
+    """F6: substring stop-list filter (tools.py:421-455)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        (F.instr("text", "vector") == 0) & (F.instr("text", "window") == 0)
+    ).select("doc_id")
+
+
+@register(
+    "fingerprint_md5",
+    """
+    SELECT doc_id, md5(concat_ws('|', CAST(doc_id AS VARCHAR), source, lang)) AS fp
+    FROM documents
+    """,
+)
+def fingerprint_md5(spark, sf_dir):
+    """P2/P3: md5 fingerprint over concatenated fields (tools.py:1902-1915,
+    request.py:465-480) — built-in md5/concat_ws, JVM-side."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), "source", "lang")).alias("fp"),
+    )
+
+
+@register(
+    "lease_visibility",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS visible
+    FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY event_type
+    """,
+)
+def lease_visibility(spark, sf_dir):
+    """F3/S2: visibility predicate score<=now (collector.py:67-70) — a
+    pushed-down timestamp filter + rollup."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("visible"))
+    )
+
+
+@register(
+    "union_result_streams",
+    """
+    SELECT tag, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT 'request' AS tag FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT 'item' AS tag FROM events WHERE event_type = 'purchase'
+    ) GROUP BY tag
+    """,
+)
+def union_result_streams(spark, sf_dir):
+    """U2: parse output = Requests ∪ Items as one tagged stream
+    (parser_control.py:183-230)."""
+    e = _t(spark, sf_dir, "events")
+    req = e.filter(F.col("event_type") == "click").select(F.lit("request").alias("tag"))
+    itm = e.filter(F.col("event_type") == "purchase").select(F.lit("item").alias("tag"))
+    return req.unionAll(itm).groupBy("tag").agg(F.count("*").alias("n"))
+
+
+@register(
+    "done_minus_pending",
+    """
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def done_minus_pending(spark, sf_dir):
+    """U1: ack set = done − just-re-enqueued (request_buffer.py:162-172)."""
+    o = _t(spark, sf_dir, "orders")
+    done = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    pending = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return done.exceptAll(pending).distinct()
+
+
+# ===========================================================================
+# Training-data pipeline operators (documents / embeddings)
+# ===========================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_fp,
+           min(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact content dedup: hash-groupBy on normalized text."""
+    return TS.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_stats",
+    """
+    SELECT doc_id,
+           CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(trim(text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_word_tokens,
+           CAST(length(trim(text)) AS BIGINT) AS n_chars_trim
+    FROM documents
+    """,
+)
+def token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex token counts."""
+    out = TS.token_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_word_tokens").cast("long").alias("n_word_tokens"),
+        F.col("n_chars_trim").cast("long").alias("n_chars_trim"),
+    )
+
+
+@register(
+    "quality_score",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(trim(text), '\\b(the|a|data|key)\\b')) AS hits
+      FROM documents)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(hits AS BIGINT) AS marker_hits,
+           round(hits * 1.0 / n_tokens, 4) AS stopword_ratio,
+           round(least(1.0, n_tokens / 100.0) * (1.0 - round(hits * 1.0 / n_tokens, 4)), 4) AS quality
+    FROM base
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Quality scoring: length + stopword-ratio heuristic."""
+    out = TS.quality_score(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("marker_hits").cast("long").alias("marker_hits"),
+        "stopword_ratio",
+        "quality",
+    )
+
+
+@register(
+    "content_fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_fp
+    FROM documents
+    """,
+)
+def content_fingerprint(spark, sf_dir):
+    """Document fingerprinting (whitespace-normalized content hash)."""
+    return TS.content_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_signatures",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, array_length(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE array_length(t) >= 3),
+    seeds AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS seed)
+    SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+    FROM sh, seeds GROUP BY doc_id, seed
+    """,
+)
+def minhash_signatures(spark, sf_dir):
+    """MinHash signatures: word-3-gram shingles × 8 seeded md5 minima."""
+    return MH.minhash_signatures(_t(spark, sf_dir, "documents"), n_hashes=8)
+
+
+@register(
+    "minhash_lsh_candidates",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, array_length(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE array_length(t) >= 3),
+    seeds AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS seed),
+    sig AS (
+      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh, seeds GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             md5(min(minhash) || ',' || max(minhash)) AS band_hash
+      FROM sig GROUP BY doc_id, seed // 2)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_candidates(spark, sf_dir):
+    """MinHash LSH banding: candidate near-dup pairs via band-bucket join."""
+    sigs = MH.minhash_signatures(_t(spark, sf_dir, "documents"), n_hashes=8)
+    return MH.band_candidates(sigs, rows_per_band=2)
+
+
+@register(
+    "simhash",
+    None,  # SQL twin generated below (16 repetitive bit expressions)
+)
+def simhash(spark, sf_dir):
+    """Portable 16-bit SimHash over tokens."""
+    return MH.simhash16(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN ascii(substr(md5(tok), {b + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    bit_val = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents),
+    agg AS (
+      SELECT doc_id,
+           {bit_sums}
+      FROM tok GROUP BY doc_id)
+    SELECT doc_id, CAST({bit_val} AS INTEGER) AS simhash FROM agg
+    """
+
+
+ORACLES["simhash"] = _simhash_sql()
+
+
+@register(
+    "ngram_jaccard_dups",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, array_length(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE array_length(t) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.2
+    """,
+)
+def ngram_jaccard_dups(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (shingle-join, intersection/union)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = MH.word_shingles(docs).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4))
+    )
+    return jac.filter(
+        F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")) >= 0.2
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), (SELECT qv FROM q))
+                 / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                          list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 6) AS cos
+    FROM embeddings WHERE vec_id <> 0
+    ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (ANN correctness baseline)."""
+    return SIM.cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+def _bucket_sql(col: str = "embedding") -> str:
+    return " + ".join(f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8))
+
+
+ANN_BUCKETS_SQL = f"""
+    SELECT CAST({_bucket_sql()} AS INTEGER) AS bucket, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM embeddings GROUP BY 1
+    """
+
+
+@register("ann_lsh_buckets", ANN_BUCKETS_SQL)
+def ann_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketing of the embedding space (the ANN scale path)."""
+    return SIM.lsh_buckets(_t(spark, sf_dir, "embeddings"), n_bits=8)
+
+
+ANN_IVF_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             CAST({_bucket_sql()} AS INTEGER) AS bucket
+      FROM embeddings),
+    q AS (SELECT emb AS qv, bucket AS qb FROM e WHERE vec_id = 0)
+    SELECT vec_id, label, bucket,
+           round(list_dot_product(emb, (SELECT qv FROM q))
+                 / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 6) AS cos
+    FROM e WHERE bucket = (SELECT qb FROM q) AND vec_id <> 0
+    ORDER BY cos DESC, vec_id ASC LIMIT 5
+    """
+
+
+@register("ann_ivf_topk", ANN_IVF_SQL)
+def ann_ivf_topk(spark, sf_dir):
+    """Bucketed ANN search: probe only the query's sign-LSH bucket."""
+    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=5, n_bits=8)
+
+
+# ===========================================================================
+# Window / sessionization (engine-introduced ops, SURVEY §2.10)
+# ===========================================================================
+
+
+@register(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events)
+    SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Sessionization: lag-gap > 30 min starts a new session."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        lag_ts.isNull() | (F.col("ts") - lag_ts > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "crawl_rate_window",
+    """
+    WITH hourly AS (
+      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, hour, n,
+           CAST(n - coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY hour), 0) AS BIGINT) AS delta
+    FROM hourly
+    """,
+)
+def crawl_rate_window(spark, sf_dir):
+    """A5: crawl-rate estimate = per-window counts + lag delta
+    (batch_spider.py:551-593 get_deal_speed analog)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+        ).agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    return hourly.withColumn(
+        "delta", (F.col("n") - F.coalesce(F.lag("n").over(w), F.lit(0))).cast("long")
+    )
+
+
+@register(
+    "pricing_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_rollup(spark, sf_dir):
+    """A-family: classic multi-aggregate rollup (map-side partial agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ===========================================================================
+# Entry points used by __spark_entry__.py
+# ===========================================================================
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline: dedup → quality → per-language rollup of the
+    documents corpus (the engine's training-data path end-to-end)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = TS.quality_score(docs)
+    kept = TS.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    return (
+        docs.join(kept, on="doc_id", how="left_semi")
+        .join(q, on="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
