@@ -1,0 +1,132 @@
+"""Benchmark harness (driver contract).
+
+Runs (a) the headline query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and (b) the crawl-engine throughput bench on a
+deterministic synthetic frontier (seed=42, no network — BASELINE.md
+protocol), on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total query suite seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {"urls_per_sec": ..., "urls": ..., "dedup_checks": ...},
+   "dedup_keys_per_sec": ...}
+
+The reference's published numbers (BASELINE.md): ExpireFilter ≈38k keys/s,
+in-proc Bloom ≈20k keys/s, Redis Bloom ≈2.9k keys/s — `dedup_keys_per_sec`
+is the direct comparison.  Scaling evidence (local[8] vs local[32]) is
+produced by scripts/run_scaling.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "frontier_topk_lease",
+    "seen_antijoin",
+    "inbatch_dup_mark",
+    "task_state_rollup",
+    "batch_progress",
+    "politeness_host_rank",
+    "dedup_exact",
+    "token_stats",
+    "quality_score",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash",
+    "embedding_cosine_topk",
+    "ann_ivf_topk",
+    "sessionize",
+    "crawl_rate_window",
+    "pricing_rollup",
+]
+
+
+def crawl_bench(spark, n_hosts=150, pages_per_host=60, batch_size=6000, max_iterations=4):
+    """Crawl throughput: URLs fetched+deduped per second on the synthetic
+    frontier (the north-star metric at sandbox scale).  Seeds cover the
+    whole page grid so every iteration leases a full batch — measuring
+    steady-state throughput, not ramp-up."""
+    from feapder_spark.crawl.engine import CrawlConfig, CrawlEngine
+    from feapder_spark.crawl.synthweb import SyntheticWeb
+
+    web = SyntheticWeb(n_hosts=n_hosts, pages_per_host=pages_per_host, seed=42)
+    seeds = [
+        {"url": web.url(h, p), "priority": 300}
+        for h in range(n_hosts)
+        for p in range(pages_per_host)
+    ]
+    with tempfile.TemporaryDirectory() as wh:
+        engine = CrawlEngine(spark, wh, web, CrawlConfig(batch_size=batch_size))
+        engine.seed(seeds)
+        t0 = time.time()
+        stats = engine.run(max_iterations=max_iterations)
+        wall = time.time() - t0
+        urls = sum(s.leased for s in stats)
+        dedup_checks = sum(s.links_new + s.links_dup for s in stats)
+    return {
+        "urls": urls,
+        "dedup_checks": dedup_checks,
+        "iterations": len(stats),
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(urls / wall, 1),
+        "checks_per_sec": round((urls + dedup_checks) / wall, 1),
+    }
+
+
+def dedup_bench(n_keys=200_000):
+    """In-process vectorized Bloom throughput vs the reference's ~20k/s."""
+    from feapder_spark.operators.dedup import ScalableMemoryBloom
+
+    bloom = ScalableMemoryBloom(initial_capacity=1_000_000)
+    keys = [f"key-{i}" for i in range(n_keys)]
+    t0 = time.time()
+    bloom.add(keys)
+    return round(n_keys / (time.time() - t0), 1)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    dedup_rate = dedup_bench()  # before the Spark JVM exists (CPU-clean)
+
+    from feapder_spark import queries as Q
+    from feapder_spark.session import get_spark
+
+    from pyspark.sql import functions as F
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(8, cpus))
+    spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    crawl = crawl_bench(spark)
+
+    out = {
+        "metric": "headline query suite wall time at sf (plus crawl URLs/sec + dedup keys/sec)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "crawl": crawl,
+        "dedup_keys_per_sec": dedup_rate,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,8 +42,13 @@ from pyspark.sql import functions as F
 
 from feapder_spark.crawl import frontier as FR
 from feapder_spark.crawl import semantics as S
-from feapder_spark.crawl.fetcher import fetch_batch
-from feapder_spark.crawl.parser import canonicalize_udf, docs_from_parsed, link_candidates, parse_fetched
+from feapder_spark.crawl.fetcher import fetch_parse_batch
+from feapder_spark.crawl.parser import (
+    FUSED_LINKS_DDL,
+    canonicalize_udf,
+    docs_from_fused,
+    link_candidates_fused,
+)
 from feapder_spark.operators.seen_set import dedup_new
 from feapder_spark.store import SnapshotStore
 
@@ -102,6 +108,7 @@ class CrawlEngine:
         self.cfg = config or CrawlConfig()
         self.iteration = 0
         self.next_seq = 0
+        self.frontier_size = 0  # maintained from known per-iteration deltas
         self._budgets = (
             FR.budgets_df(spark, self.cfg.politeness) if self.cfg.politeness else None
         )
@@ -112,6 +119,14 @@ class CrawlEngine:
     # -- setup ---------------------------------------------------------------
     def t(self, name: str):
         return self.store.table(name)
+
+    def _sized(self, df, n_rows: int, rows_per_file: int = 100_000):
+        """Right-size write parallelism from a known row count: tiny frames
+        become 1 task instead of <shuffle.partitions> empty files, big
+        frames keep full parallelism (same rule a production writer uses
+        to hit healthy parquet file sizes)."""
+        target = max(1, min(self.spark.sparkContext.defaultParallelism, n_rows // rows_per_file + 1))
+        return df.coalesce(target)
 
     def _init_tables(self):
         ddls = {
@@ -151,11 +166,14 @@ class CrawlEngine:
             "status", F.lit(S.STATUS_TODO)
         )
         new_rows = new_rows.select(*self._frontier_cols()).persist()
-        self.t("frontier").commit(new_rows, mode="append")
+        n_seeded = new_rows.count()
+        self.frontier_size = n_seeded
+        self.t("frontier").commit(self._sized(new_rows, n_seeded), mode="append")
         self.t("seen").commit(
-            new_rows.select("fingerprint").withColumn("added_iteration", F.lit(-1)), mode="append"
+            self._sized(new_rows.select("fingerprint").withColumn("added_iteration", F.lit(-1)), n_seeded),
+            mode="append",
         )
-        self.store.checkpoint({"iteration": 0, "next_seq": 0}, TABLES)
+        self.store.checkpoint({"iteration": 0, "next_seq": 0, "frontier_size": n_seeded}, TABLES)
         new_rows.unpersist()
         return True
 
@@ -171,6 +189,7 @@ class CrawlEngine:
             if st is None:
                 break
             stats.append(st)
+        self.flush_metrics()
         return stats
 
     def resume(self) -> dict | None:
@@ -180,6 +199,7 @@ class CrawlEngine:
         if ckpt:
             self.iteration = ckpt["label"]["iteration"]
             self.next_seq = ckpt["label"]["next_seq"]
+            self.frontier_size = ckpt["label"].get("frontier_size", 0)
         return ckpt
 
     def _iterate(self) -> IterationStats | None:
@@ -193,14 +213,33 @@ class CrawlEngine:
             batch.unpersist()
             return None
 
-        fetched = fetch_batch(batch, self.resolver).persist()
-        ok = fetched.filter(F.col("status_code") == 200)
-        parsed = parse_fetched(ok).persist()
-        fetched_ok = parsed.count()
+        # fused fetch+parse: one python eval per task (fetcher.py rationale)
+        # host-grouped partitioning only matters when per-host rate limits
+        # exist; otherwise round-robin balances perfectly (no host-hash skew)
+        fetched = fetch_parse_batch(
+            batch, self.resolver, by_host=self.cfg.politeness is not None
+        ).persist()
+        parsed = fetched.filter(F.col("status_code") == 200)
+
+        # one aggregation job covers fetch outcome + retry routing + link counts
+        retry_ok = F.col("retry_times") + 1 <= cfg.max_retries
+        not_ok = F.col("status_code") != 200
+        frow = fetched.agg(
+            F.sum((~not_ok).cast("long")).alias("ok"),
+            F.sum((not_ok & retry_ok).cast("long")).alias("retried"),
+            F.sum((not_ok & ~retry_ok).cast("long")).alias("failed"),
+            F.sum(
+                F.coalesce(F.size(F.from_json("links_json", FUSED_LINKS_DDL)), F.lit(0)).cast("long")
+            ).alias("links_total"),
+        ).first()
+        fetched_ok = int(frow["ok"] or 0)
+        retried_n = int(frow["retried"] or 0)
+        failed_n = int(frow["failed"] or 0)
+        links_total = int(frow["links_total"] or 0)
 
         # --- discovered links → claim-on-enqueue dedup ---
         cands = (
-            link_candidates(parsed)
+            link_candidates_fused(parsed)
             .withColumn("priority", F.lit(cfg.link_priority))
             .withColumn("retry_times", F.lit(0))
             .withColumn("parser_name", F.lit(cfg.default_parser))
@@ -212,20 +251,17 @@ class CrawlEngine:
             .select(*self._frontier_cols())
             .persist()
         )
-        links_total = cands.count()
         links_new = new_rows.count()
 
         # --- retry / failed routing ---
-        failures = fetched.filter(F.col("status_code") != 200)
+        failures = fetched.filter(not_ok)
         routed = FR.route_failures(
             failures.select(*self._frontier_cols(), "status_code"), cfg.max_retries
-        ).persist()
+        )
         retries = routed.filter(F.col("route") == S.STATUS_TODO).select(*self._frontier_cols())
         failed_new = routed.filter(F.col("route") == S.STATUS_FAILED).select(
             "fingerprint", "url", "retry_times", "status_code"
         )
-        retried_n = retries.count()
-        failed_n = failed_new.count()
 
         # --- items (export-then-commit-fingerprint, item_buffer.py:351-358) ---
         item_rows = parsed.select(
@@ -240,35 +276,61 @@ class CrawlEngine:
 
         # --- per-partition lineage metrics ---
         part_metrics = (
-            fetched.groupBy(F.col("fetch_partition").alias("partition_id"))
+            fetched.groupBy(F.col("stage_partition").alias("partition_id"))
             .agg(F.count("*").alias("rows"))
-            .withColumn("stage", F.lit("fetch"))
-            .unionByName(
-                parsed.groupBy(F.col("parse_partition").alias("partition_id"))
-                .agg(F.count("*").alias("rows"))
-                .withColumn("stage", F.lit("parse"))
-            )
+            .withColumn("stage", F.lit("fetch_parse"))
             .withColumn("iteration", F.lit(self.iteration))
             .select("iteration", "stage", "partition_id", "rows")
         )
 
-        # --- commits, fixed order; checkpoint marks the iteration complete ---
-        self.t("seen").commit(
-            new_rows.select("fingerprint").withColumn("added_iteration", F.lit(self.iteration)),
-            mode="append",
-        )
-        self.t("docs").commit(docs_from_parsed(parsed), mode="append")
-        self.t("items").commit(items_new, mode="append")
-        self.t("failed").commit(failed_new, mode="append")
-
+        # --- commits; the CHECKPOINT (not commit order) is the atomicity
+        # gate — restore rolls every table back to the last complete
+        # checkpoint, so the independent table commits run concurrently
+        # (Spark schedules jobs from multiple driver threads in parallel);
+        # empty frames skip their commit entirely.
         remaining = frontier_df.join(batch.select("fingerprint"), on="fingerprint", how="left_anti")
         new_frontier = remaining.unionByName(retries).unionByName(new_rows)
-        self.t("frontier").commit(new_frontier, mode="overwrite")
+        self.frontier_size = self.frontier_size - leased + retried_n + links_new
 
-        self.t("crawl_order").commit(
-            batch.select("seq", F.lit(self.iteration).alias("iteration"), "fingerprint"),
-            mode="append",
+        commits = []
+        if links_new > 0:
+            commits.append(
+                lambda: self.t("seen").commit(
+                    self._sized(
+                        new_rows.select("fingerprint").withColumn(
+                            "added_iteration", F.lit(self.iteration)
+                        ),
+                        links_new,
+                    ),
+                    mode="append",
+                )
+            )
+        if fetched_ok > 0:
+            commits.append(
+                lambda: self.t("docs").commit(self._sized(docs_from_fused(parsed), fetched_ok), mode="append")
+            )
+            commits.append(
+                lambda: self.t("items").commit(self._sized(items_new, fetched_ok), mode="append")
+            )
+        if failed_n > 0:
+            commits.append(
+                lambda: self.t("failed").commit(self._sized(failed_new, failed_n), mode="append")
+            )
+        commits.append(
+            lambda: self.t("frontier").commit(self._sized(new_frontier, self.frontier_size), mode="overwrite")
         )
+        commits.append(
+            lambda: self.t("crawl_order").commit(
+                self._sized(
+                    batch.select("seq", F.lit(self.iteration).alias("iteration"), "fingerprint"), leased
+                ),
+                mode="append",
+            )
+        )
+        commits.append(lambda: self.t("metrics_partitions").commit(self._sized(part_metrics, 64), mode="append"))
+        with ThreadPoolExecutor(max_workers=len(commits)) as pool:
+            for fut in [pool.submit(c) for c in commits]:
+                fut.result()  # propagate any commit failure before checkpointing
         st = IterationStats(
             iteration=self.iteration,
             leased=leased,
@@ -278,19 +340,36 @@ class CrawlEngine:
             retried=retried_n,
             failed=failed_n,
         )
-        self.t("metrics").commit(
-            self.spark.createDataFrame(
-                [(st.iteration, st.leased, st.fetched_ok, st.links_new, st.links_dup, st.retried, st.failed)],
-                METRICS_DDL,
-            ),
-            mode="append",
-        )
-        self.t("metrics_partitions").commit(part_metrics, mode="append")
-
         self.iteration += 1
         self.next_seq += leased
-        self.store.checkpoint({"iteration": self.iteration, "next_seq": self.next_seq}, TABLES)
+        # iteration summary travels in the checkpoint label (no Spark job);
+        # the metrics table is materialized from the labels at end of run()
+        self.store.checkpoint(
+            {
+                "iteration": self.iteration,
+                "next_seq": self.next_seq,
+                "frontier_size": self.frontier_size,
+                "stats": st.__dict__,
+            },
+            TABLES,
+        )
 
-        for df in (batch, fetched, parsed, new_rows, routed):
+        for df in (batch, fetched, new_rows):
             df.unpersist()
         return st
+
+    def flush_metrics(self) -> None:
+        """Materialize the metrics table from the checkpoint labels
+        (overwrite — idempotent across resumes and crashes)."""
+        rows = []
+        for ckpt in self.store.list_checkpoints():
+            stx = ckpt["label"].get("stats")
+            if stx:
+                rows.append(
+                    (
+                        stx["iteration"], stx["leased"], stx["fetched_ok"], stx["links_new"],
+                        stx["links_dup"], stx["retried"], stx["failed"],
+                    )
+                )
+        if rows:
+            self.t("metrics").commit(self.spark.createDataFrame(rows, METRICS_DDL), mode="overwrite")

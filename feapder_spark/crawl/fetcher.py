@@ -46,8 +46,81 @@ def fetch_batch(batch: DataFrame, resolver, by_host: bool = True) -> DataFrame:
                 fetch_partition=pid,
             )
 
-    src = batch.repartition("host") if by_host else batch
+    n_parts = batch.sparkSession.sparkContext.defaultParallelism
+    src = batch.repartition(n_parts, "host") if by_host else batch.repartition(n_parts)
     return src.mapInPandas(fetch_map, schema=schema_ddl)
+
+
+FETCH_PARSE_EXTRA_DDL = (
+    "status_code INT, title STRING, n_spans INT, spans_json STRING, "
+    "links_json STRING, stage_partition INT"
+)
+
+
+def fetch_parse_batch(batch: DataFrame, resolver, by_host: bool = True) -> DataFrame:
+    """Fused fetch+parse: ONE Arrow hop per task instead of a chain of
+    python evals (a chained canonicalize→fetch→parse pipeline runs several
+    python workers per task — at local[32] that oversubscribes the box and
+    *anti*-scales; fusing keeps exactly one python worker per task and the
+    raw HTML never crosses the JVM boundary at all).
+
+    Output = batch columns + status_code, title, n_spans, spans_json,
+    links_json (JSON array of {u: absolute url, c: canonical url, h: host} —
+    canonicalization happens here in python; the md5 fingerprint stays
+    JVM-side).
+    """
+    import json as _json
+
+    from feapder_spark.crawl import html as H
+    from feapder_spark.urlnorm import canonicalize_url, host_of
+
+    schema_ddl = batch._jdf.schema().toDDL() + ", " + FETCH_PARSE_EXTRA_DDL
+
+    def fp_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes, titles, n_spans_l, spans_l, links_l = [], [], [], [], []
+            for url, url_canon, retry in zip(pdf["url"], pdf["url_canon"], pdf["retry_times"]):
+                status, raw = resolver.resolve(url, attempt=int(retry))
+                codes.append(status)
+                if status == 200:
+                    spans, links, title = H.parse_document(url_canon, raw)
+                    titles.append(title)
+                    n_spans_l.append(len(spans))
+                    spans_l.append(_json.dumps(spans))
+                    links_l.append(
+                        _json.dumps(
+                            [
+                                {"u": ln, "c": (c := canonicalize_url(ln)), "h": host_of(c)}
+                                for ln in links
+                            ]
+                        )
+                    )
+                else:
+                    titles.append(None)
+                    n_spans_l.append(0)
+                    spans_l.append(None)
+                    links_l.append(None)
+            yield pdf.assign(
+                status_code=codes,
+                title=titles,
+                n_spans=n_spans_l,
+                spans_json=spans_l,
+                links_json=links_l,
+                stage_partition=pid,
+            )
+
+    # explicit partition count: AQE's byte-based coalescing would collapse
+    # this CPU-bound (per-row python) stage into a couple of tasks — URL rows
+    # are tiny but each costs a fetch+parse.  An explicit count is honored
+    # by AQE; by_host keeps one host's fetches on one executor (politeness).
+    n_parts = batch.sparkSession.sparkContext.defaultParallelism
+    src = batch.repartition(n_parts, "host") if by_host else batch.repartition(n_parts)
+    return src.mapInPandas(fp_map, schema=schema_ddl)
 
 
 def fetch_metrics(fetched: DataFrame) -> DataFrame:

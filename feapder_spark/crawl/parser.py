@@ -96,3 +96,29 @@ def link_candidates(parsed: DataFrame) -> DataFrame:
             F.lower(F.coalesce(F.parse_url("url_canon", F.lit("HOST")), F.lit(""))),
         )
     )
+
+
+# -- fused fetch+parse frame (fetcher.fetch_parse_batch) helpers ------------
+
+FUSED_LINKS_DDL = "ARRAY<STRUCT<u: STRING, c: STRING, h: STRING>>"
+
+
+def docs_from_fused(fused_ok: DataFrame) -> DataFrame:
+    """Typed docs rows from the fused fetch+parse frame (status==200 rows)."""
+    return fused_ok.select(
+        F.col("fingerprint").alias("doc_id"),
+        F.col("url_canon").alias("url"),
+        F.from_json("spans_json", SPANS_DDL).alias("spans"),
+    )
+
+
+def link_candidates_fused(fused_ok: DataFrame) -> DataFrame:
+    """Candidate rows from the fused frame; canonical form came from the
+    python stage, fingerprint is the JVM md5."""
+    links = fused_ok.select(F.explode(F.from_json("links_json", FUSED_LINKS_DDL)).alias("l"))
+    return links.select(
+        F.col("l.u").alias("url"),
+        F.col("l.c").alias("url_canon"),
+        F.col("l.h").alias("host"),
+        F.md5("l.c").alias("fingerprint"),
+    )

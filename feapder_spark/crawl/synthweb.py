@@ -46,6 +46,7 @@ class SyntheticWeb:
     n_links: int = 8
     flaky_every: int = 7  # every k-th url (by hash) is flaky
     flaky_failures: int = 2  # flaky urls fail this many attempts, then succeed
+    page_weight: int = 1  # multiplies paragraph count (1 ≈ 2 KB pages; 5 ≈ 10 KB — realistic web sizes for benches)
     _zipf_cum: list = field(default_factory=list, init=False, repr=False)
 
     def __post_init__(self):
@@ -83,36 +84,43 @@ class SyntheticWeb:
 
     # -- page generation -----------------------------------------------------
     def gen_page(self, url: str) -> str:
-        """Deterministic page: interleaved <p> text and media tags + anchors."""
-        r = lambda tag, i=0: _h(f"{tag}:{i}:{url}", self.seed)  # noqa: E731
-        n_paras = 2 + r("np") % 4
+        """Deterministic page: interleaved <p> text and media tags + anchors.
+
+        One md5 seeds a ``random.Random`` stream per page (Mersenne Twister —
+        stable across CPython versions), so page generation costs one hash
+        instead of ~50 (this is the fetch stage's hot loop in benches).
+        """
+        import random
+
+        rng = random.Random(_h("page:" + url, self.seed))
+        n_paras = (2 + rng.randrange(4)) * self.page_weight
         parts = [f"<html><head><title>Page {url.rsplit('/', 1)[-1]} of {url.split('/')[2]}</title>"]
-        if r("headcss") % 3 == 0:
-            parts.append(f'<link rel="stylesheet" href="/static/style-{r("css") % 5}.css">')
+        if rng.randrange(3) == 0:
+            parts.append(f'<link rel="stylesheet" href="/static/style-{rng.randrange(5)}.css">')
         parts.append("</head><body>")
-        for p in range(n_paras):
-            words = " ".join(_WORDS[r("w", p * 31 + w) % len(_WORDS)] for w in range(6 + r("wl", p) % 10))
+        for _ in range(n_paras):
+            words = " ".join(_WORDS[rng.randrange(len(_WORDS))] for _ in range(6 + rng.randrange(10)))
             parts.append(f"<p>{words}</p>")
-            if r("img", p) % 2 == 0:
-                parts.append(f'<img src="/media/img-{r("imgid", p) % 200}.webp" alt="">')
-        if r("script") % 4 == 0:
-            parts.append(f'<script src="/static/app-{r("js") % 3}.min"></script>')
+            if rng.randrange(2) == 0:
+                parts.append(f'<img src="/media/img-{rng.randrange(200)}.webp" alt="">')
+        if rng.randrange(4) == 0:
+            parts.append(f'<script src="/static/app-{rng.randrange(3)}.min"></script>')
 
         # anchors
         anchors = []
-        n_links = 1 + r("nl") % self.n_links
-        for li in range(n_links):
-            x = r("link", li)
-            kind = x % 10
+        n_links = 1 + rng.randrange(self.n_links)
+        for _ in range(n_links):
+            kind = rng.randrange(10)
             if kind == 0:  # stop-list exercise
-                stop = ["javascript:void(0)", "/assets/pic.jpg", "/theme.css", "/sheet.xls"][x % 4]
-                anchors.append(stop)
+                anchors.append(
+                    ["javascript:void(0)", "/assets/pic.jpg", "/theme.css", "/sheet.xls"][rng.randrange(4)]
+                )
             elif kind == 1:  # bad-host link (always fails → retry→failed path)
-                anchors.append(f"http://{BAD_HOST}/page-{x % 5}")
+                anchors.append(f"http://{BAD_HOST}/page-{rng.randrange(5)}")
             else:
-                host = self._zipf_host(x)
-                page = r("tp", li) % self.pages_per_host
-                form = x % 4
+                host = self._zipf_host(rng.randrange(10**9))
+                page = rng.randrange(self.pages_per_host)
+                form = rng.randrange(4)
                 target = self.url(host, page)
                 if form == 0:  # relative link
                     anchors.append(f"/page-{page}" if f"host-{host}.test" == url.split("/")[2] else target)
@@ -123,7 +131,7 @@ class SyntheticWeb:
                 else:
                     anchors.append(target)
         for a in anchors:
-            parts.append(f'<a href="{a}">anchor {_WORDS[_h(a, self.seed) % len(_WORDS)]}</a>')
+            parts.append(f'<a href="{a}">anchor {_WORDS[rng.randrange(len(_WORDS))]}</a>')
         parts.append("</body></html>")
         return "".join(parts)
 

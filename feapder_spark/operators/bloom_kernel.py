@@ -74,15 +74,18 @@ class BloomKernel:
         return self._get_bits(pos).all(axis=1)
 
     def add(self, keys: list[str]) -> np.ndarray:
-        """Set bits; True where key was newly added (some bit was 0 before)."""
+        """Set bits; True where key was newly added (some bit was 0 before).
+
+        Computes positions/byte-indices once and shares them between the
+        exists-check and the bit-set (hashing is the dominant cost)."""
         if not keys:
             return np.zeros(0, dtype=bool)
         pos = self.positions(keys)
-        existed = self._get_bits(pos).all(axis=1)
-        byte_idx = (pos >> np.uint64(3)).astype(np.int64).ravel()
-        bit_mask = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)).ravel()
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        bit_mask = np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+        existed = ((self.bits[byte_idx] & bit_mask) != 0).all(axis=1)
         # ufunc .at handles repeated byte indices correctly
-        np.bitwise_or.at(self.bits, byte_idx, bit_mask)
+        np.bitwise_or.at(self.bits, byte_idx.ravel(), bit_mask.ravel())
         return ~existed
 
     # -- capacity ----------------------------------------------------------------

@@ -112,10 +112,23 @@ class ScalableMemoryBloom:
             out = [int(a) for a in added]
             return out if is_list else out[0]
         uniq = list(dict.fromkeys(key_list))
-        exists = dict(zip(uniq, self._exists_any(uniq)))
-        new_keys = [k for k in uniq if not exists[k]]
-        if new_keys:
-            self.filters[-1].add(new_keys)
+        all_unique = len(uniq) == len(key_list)
+        if len(self.filters) == 1:
+            # fast path: single generation — fused check+set (one hash pass)
+            added = self.filters[0].add(uniq)
+            if all_unique:  # no in-batch dups → vectorized straight through
+                out = added.astype(int).tolist()
+                return out if is_list else out[0]
+            exists = dict(zip(uniq, (~added).tolist()))
+        else:
+            exists_arr = self._exists_any(uniq)
+            new_keys = [k for k, e in zip(uniq, exists_arr) if not e]
+            if new_keys:
+                self.filters[-1].add(new_keys)
+            if all_unique:
+                out = (~exists_arr).astype(int).tolist()
+                return out if is_list else out[0]
+            exists = dict(zip(uniq, exists_arr.tolist()))
         claimed: set[str] = set()
         out = []
         for k in key_list:

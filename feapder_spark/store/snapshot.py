@@ -224,6 +224,17 @@ class SnapshotStore:
         with open(os.path.join(self._ckpt_dir, f"{seq:08d}.json")) as f:
             return json.load(f)
 
+    def list_checkpoints(self) -> list[dict]:
+        """All checkpoints up to the current _latest pointer, in order."""
+        last = self.last_checkpoint_seq()
+        out = []
+        for seq in range(last + 1):
+            path = os.path.join(self._ckpt_dir, f"{seq:08d}.json")
+            if os.path.exists(path):
+                with open(path) as f:
+                    out.append(json.load(f))
+        return out
+
     def restore_last_checkpoint(self) -> dict | None:
         """Roll every table back to the last complete checkpoint (resume)."""
         ckpt = self.last_checkpoint()

@@ -26,11 +26,20 @@ import hashlib
 import struct
 from urllib.parse import parse_qsl, quote, unquote, urlparse, urlunparse
 
+import re
+
 _DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
 
 # safe characters per w3lib's canonicalize_url quoting behaviour
 _PATH_SAFE = "/;,!$&'()*+=:@"
 _QUERY_SAFE = "/;,!$'()*+=:@"
+
+# Fast path: URLs already in canonical form — lowercase scheme+host, no
+# port, no query/params/fragment, path made only of unreserved+safe chars
+# (for which requoting is the identity).  canonicalize_url() is then the
+# identity, so we can skip the urlparse round-trip (it dominates link
+# processing cost at ~8 links/page).
+_ALREADY_CANONICAL = re.compile(r"^https?://[a-z0-9.\-]+(/[A-Za-z0-9\-._~/]*)?$")
 
 
 def _requote(text: str, safe: str) -> str:
@@ -45,6 +54,8 @@ def canonicalize_url(url: str) -> str:
     lowercased scheme/netloc, default port dropped.
     """
     if not url:
+        return url
+    if _ALREADY_CANONICAL.match(url):
         return url
     try:
         parts = urlparse(url.strip())
@@ -88,6 +99,8 @@ def request_fingerprint(url: str, **body) -> str:
 
 def host_of(url: str) -> str:
     """Host (lowercased netloc sans port) — the partition/salt key."""
+    if _ALREADY_CANONICAL.match(url):
+        return url.split("/", 3)[2]
     try:
         netloc = urlparse(url).netloc.lower()
     except ValueError:
