@@ -49,7 +49,7 @@ from feapder_spark.crawl.parser import (
     docs_from_fused,
     link_candidates_fused,
 )
-from feapder_spark.operators.seen_set import dedup_new
+from feapder_spark.operators.seen_set import BloomSeenSet, dedup_new, mark_in_batch_first
 from feapder_spark.store import SnapshotStore
 
 SEEN_DDL = "fingerprint STRING, added_iteration INT"
@@ -66,7 +66,10 @@ METRICS_DDL = (
 )
 PART_METRICS_DDL = "iteration INT, stage STRING, partition_id INT, rows LONG"
 
-TABLES = ["frontier", "seen", "docs", "items", "failed", "crawl_order", "metrics", "metrics_partitions"]
+TABLES = [
+    "frontier", "seen", "seen_set", "docs", "items", "failed",
+    "crawl_order", "metrics", "metrics_partitions",
+]
 
 _ITEM_KEYS = ["doc_id", "n_spans", "title", "url"]  # sorted, item.py:141-153
 
@@ -87,6 +90,13 @@ class CrawlConfig:
     default_parser: str = "TestParser"
     politeness: dict | None = None  # host -> per-iteration budget; "__default__" key
     link_priority: int = S.DEFAULT_PRIORITY
+    # URL-seen set implementation: "exact" (fingerprint table, anti-join) or
+    # "bloom" (bucketed scalable-Bloom blobs — the 10^10-frontier scale path;
+    # only touched buckets move per iteration, memory ~3 bytes/URL at P=1e-5)
+    seen_set: str = "exact"
+    bloom_buckets: int = 64
+    bloom_capacity_per_bucket: int = 1_000_000
+    bloom_error_rate: float = 1e-5
 
 
 @dataclass
@@ -115,6 +125,15 @@ class CrawlEngine:
         self._default_budget = (
             (self.cfg.politeness or {}).get("__default__", 1_000_000_000)
         )
+        self._bloom = (
+            BloomSeenSet(
+                num_buckets=self.cfg.bloom_buckets,
+                capacity_per_bucket=self.cfg.bloom_capacity_per_bucket,
+                error_rate=self.cfg.bloom_error_rate,
+            )
+            if self.cfg.seen_set == "bloom"
+            else None
+        )
 
     # -- setup ---------------------------------------------------------------
     def t(self, name: str):
@@ -138,6 +157,7 @@ class CrawlEngine:
             "crawl_order": ORDER_DDL,
             "metrics": METRICS_DDL,
             "metrics_partitions": PART_METRICS_DDL,
+            "seen_set": BloomSeenSet.BLOBS_SCHEMA,
         }
         for name, ddl in ddls.items():
             if not self.t(name).exists():
@@ -162,17 +182,13 @@ class CrawlEngine:
             .withColumn("host", F.lower(F.coalesce(F.parse_url("url_canon", F.lit("HOST")), F.lit(""))))
             .withColumn("retry_times", F.lit(0))
         )
-        new_rows = dedup_new(cands, self.t("seen").read(), order_cols=("priority", "url")).withColumn(
-            "status", F.lit(S.STATUS_TODO)
-        )
-        new_rows = new_rows.select(*self._frontier_cols()).persist()
+        new_rows, seen_commit = self._claim_new(cands)
         n_seeded = new_rows.count()
         self.frontier_size = n_seeded
         self.t("frontier").commit(self._sized(new_rows, n_seeded), mode="append")
-        self.t("seen").commit(
-            self._sized(new_rows.select("fingerprint").withColumn("added_iteration", F.lit(-1)), n_seeded),
-            mode="append",
-        )
+        seen_commit(n_seeded, -1)
+        if self._bloom is not None:
+            self._bloom.release()
         self.store.checkpoint({"iteration": 0, "next_seq": 0, "frontier_size": n_seeded}, TABLES)
         new_rows.unpersist()
         return True
@@ -180,6 +196,56 @@ class CrawlEngine:
     @staticmethod
     def _frontier_cols():
         return ["fingerprint", "url", "url_canon", "host", "priority", "retry_times", "parser_name", "status"]
+
+    def _claim_new(self, cands):
+        """Claim-on-enqueue dedup, exact or Bloom path.
+
+        Returns (new_rows_df_persisted, seen_commit_fn) — the commit fn is
+        run with the iteration's other table commits.  Exact path: anti-join
+        vs the fingerprint table (J1).  Bloom path: cogrouped check+add over
+        the bucketed blobs (only touched buckets rewrite).
+        """
+        if self._bloom is None:
+            new_rows = (
+                dedup_new(cands, self.t("seen").read(), order_cols=("priority", "url"))
+                .withColumn("status", F.lit(S.STATUS_TODO))
+                .select(*self._frontier_cols())
+                .persist()
+            )
+
+            def commit_fn(n_new, iteration):
+                if n_new > 0:
+                    self.t("seen").commit(
+                        self._sized(
+                            new_rows.select("fingerprint").withColumn(
+                                "added_iteration", F.lit(iteration)
+                            ),
+                            n_new,
+                        ),
+                        mode="append",
+                    )
+
+            return new_rows, commit_fn
+
+        firsts = (
+            mark_in_batch_first(cands, order_cols=("priority", "url"))
+            .filter(F.col("is_first_in_batch") == 1)
+            .drop("is_first_in_batch")
+        )
+        blobs = self.t("seen_set").read()
+        results, new_blobs = self._bloom.check_and_add(firsts.select("fingerprint"), blobs)
+        new_rows = (
+            firsts.join(results.filter(F.col("is_new") == 1).select("fingerprint"), on="fingerprint")
+            .withColumn("status", F.lit(S.STATUS_TODO))
+            .select(*self._frontier_cols())
+            .persist()
+        )
+
+        def commit_fn(n_new, iteration):
+            # blobs always rewrite (membership bits advanced even for dups)
+            self.t("seen_set").commit(new_blobs, mode="overwrite")
+
+        return new_rows, commit_fn
 
     # -- the loop -------------------------------------------------------------
     def run(self, max_iterations: int | None = None) -> list[IterationStats]:
@@ -244,13 +310,7 @@ class CrawlEngine:
             .withColumn("retry_times", F.lit(0))
             .withColumn("parser_name", F.lit(cfg.default_parser))
         )
-        seen_df = self.t("seen").read()
-        new_rows = (
-            dedup_new(cands, seen_df, order_cols=("priority", "url"))
-            .withColumn("status", F.lit(S.STATUS_TODO))
-            .select(*self._frontier_cols())
-            .persist()
-        )
+        new_rows, seen_commit = self._claim_new(cands)
         links_new = new_rows.count()
 
         # --- retry / failed routing ---
@@ -292,19 +352,7 @@ class CrawlEngine:
         new_frontier = remaining.unionByName(retries).unionByName(new_rows)
         self.frontier_size = self.frontier_size - leased + retried_n + links_new
 
-        commits = []
-        if links_new > 0:
-            commits.append(
-                lambda: self.t("seen").commit(
-                    self._sized(
-                        new_rows.select("fingerprint").withColumn(
-                            "added_iteration", F.lit(self.iteration)
-                        ),
-                        links_new,
-                    ),
-                    mode="append",
-                )
-            )
+        commits = [lambda: seen_commit(links_new, self.iteration)]
         if fetched_ok > 0:
             commits.append(
                 lambda: self.t("docs").commit(self._sized(docs_from_fused(parsed), fetched_ok), mode="append")
@@ -331,6 +379,8 @@ class CrawlEngine:
         with ThreadPoolExecutor(max_workers=len(commits)) as pool:
             for fut in [pool.submit(c) for c in commits]:
                 fut.result()  # propagate any commit failure before checkpointing
+        if self._bloom is not None:
+            self._bloom.release()
         st = IterationStats(
             iteration=self.iteration,
             leased=leased,
@@ -357,6 +407,45 @@ class CrawlEngine:
         for df in (batch, fetched, new_rows):
             df.unpersist()
         return st
+
+    def reload_failed(self) -> int:
+        """Re-enqueue every parked failed request with retry_times reset to
+        0, skipping dedup (they are already claimed in the seen set) —
+        HandleFailedRequests.reput semantics (core/handle_failed_requests.py:
+        29-54; retries bypass the dedup filter, parser_control.py:347).
+        Clears the failed table.  Returns the number re-enqueued."""
+        failed = self.t("failed").read().persist()
+        n = failed.count()
+        if n == 0:
+            failed.unpersist()
+            return 0
+        revived = (
+            failed.select("fingerprint", "url")
+            .withColumn("url_canon", canonicalize_udf("url"))
+            .withColumn("host", F.lower(F.coalesce(F.parse_url("url_canon", F.lit("HOST")), F.lit(""))))
+            .withColumn("priority", F.lit(self.cfg.link_priority))
+            .withColumn("retry_times", F.lit(0))
+            .withColumn("parser_name", F.lit(self.cfg.default_parser))
+            .withColumn("status", F.lit(S.STATUS_TODO))
+            .select(*self._frontier_cols())
+        )
+        frontier = self.t("frontier").read().join(
+            failed.select("fingerprint"), on="fingerprint", how="left_anti"
+        )
+        self.frontier_size += n
+        self.t("frontier").commit(
+            self._sized(frontier.unionByName(revived), self.frontier_size), mode="overwrite"
+        )
+        self.t("failed").commit(
+            self.spark.createDataFrame([], FAILED_DDL), mode="overwrite"
+        )
+        self.store.checkpoint(
+            {"iteration": self.iteration, "next_seq": self.next_seq,
+             "frontier_size": self.frontier_size, "reloaded_failed": n},
+            TABLES,
+        )
+        failed.unpersist()
+        return n
 
     def flush_metrics(self) -> None:
         """Materialize the metrics table from the checkpoint labels

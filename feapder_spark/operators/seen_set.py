@@ -151,8 +151,17 @@ class BloomSeenSet:
             .applyInPandas(per_bucket, schema=self._OUT_SCHEMA)
         )
         out = out.persist()
+        self._last_out = out  # caller may .release() after committing results
         results = out.filter(F.col("kind") == "r").select("fingerprint", "is_new")
         touched = out.filter(F.col("kind") == "b").select("bucket", "generation", "bits")
         untouched = blobs.join(touched.select("bucket").distinct(), on="bucket", how="left_anti")
         new_blobs = touched.unionByName(untouched)
         return results, new_blobs
+
+    def release(self) -> None:
+        """Unpersist the cogroup output of the last check_and_add (call after
+        downstream results/blobs have been committed)."""
+        out = getattr(self, "_last_out", None)
+        if out is not None:
+            out.unpersist()
+            self._last_out = None

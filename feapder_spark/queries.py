@@ -612,6 +612,51 @@ def pricing_rollup(spark, sf_dir):
     )
 
 
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           64 + ascii(substr(md5(text), 1, 1)) % 64 AS width,
+           64 + ascii(substr(md5(text), 2, 1)) % 64 AS height,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → Arrow-batched decode
+    stub (deterministic fake codec) → typed metadata.  The oracle recomputes
+    the fake codec's md5-derived dimensions in SQL."""
+    from feapder_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    decoded = MM.decode_media(MM.media_from_documents(docs), fake=True)
+    return decoded.select("media_id", "kind", "width", "height", "n_bytes")
+
+
+@register(
+    "stream_windowed_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming: watermarked tumbling-window rollup driven to
+    completion over the parquet-backed source; must equal the batch SQL."""
+    from feapder_spark.streaming.events import run_stream_once
+
+    res = run_stream_once(spark, sf_dir, window="1 hour")
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        "n",
+        F.round(F.col("value_sum"), 2).alias("value_sum"),
+    )
+
 # ===========================================================================
 # Entry points used by __spark_entry__.py
 # ===========================================================================

@@ -1,0 +1,31 @@
+"""Bloom seen-set crawl: the scale path must reproduce the oracle exactly
+at test scale (P=1e-5 over a few hundred keys ⇒ false positives are
+~impossible, so behaviour must be identical to the exact path)."""
+
+from feapder_spark.crawl.engine import CrawlConfig, CrawlEngine
+from feapder_spark.crawl.oracle import run_oracle
+from feapder_spark.crawl.synthweb import SyntheticWeb
+
+
+def test_bloom_engine_matches_oracle(spark, tmp_path):
+    web = SyntheticWeb(n_hosts=6, pages_per_host=5, seed=42)
+    seeds = web.seeds(6)
+    golden = run_oracle(web, seeds, batch_size=12)
+
+    cfg = CrawlConfig(batch_size=12, seen_set="bloom", bloom_buckets=8, bloom_capacity_per_bucket=10_000)
+    engine = CrawlEngine(spark, str(tmp_path / "wh"), web, cfg)
+    assert engine.seed(seeds) is True
+    engine.run()
+
+    order = [
+        r.fingerprint
+        for r in engine.t("crawl_order").read().orderBy("seq").select("fingerprint").collect()
+    ]
+    docs = {r.doc_id for r in engine.t("docs").read().select("doc_id").collect()}
+    failed = {r.fingerprint for r in engine.t("failed").read().collect()}
+    assert order == golden.crawl_order
+    assert docs == set(golden.docs.keys())
+    assert failed == golden.failed
+    # blobs exist and only the touched buckets are materialized
+    blobs = engine.t("seen_set").read()
+    assert 0 < blobs.count() <= 8 * 2
