@@ -657,6 +657,34 @@ def stream_windowed_counts(spark, sf_dir):
         F.round(F.col("value_sum"), 2).alias("value_sum"),
     )
 
+
+@register(
+    "parser_routing",
+    """
+    WITH parsers(event_type, parser_name) AS (
+        VALUES ('click', 'ClickParser'), ('view', 'ViewParser'),
+               ('purchase', 'OrderParser'), ('signup', 'UserParser'),
+               ('error', 'ErrorParser'))
+    SELECT p.parser_name, CAST(count(*) AS BIGINT) AS n_routed
+    FROM events e JOIN parsers p ON e.event_type = p.event_type
+    GROUP BY p.parser_name
+    """,
+)
+def parser_routing(spark, sf_dir):
+    """J2/J3: request → parser routing via a broadcast-joined tiny dimension
+    (parser_control.py:85-86; task routing task_spider.py:256-266)."""
+    parsers = spark.createDataFrame(
+        [("click", "ClickParser"), ("view", "ViewParser"), ("purchase", "OrderParser"),
+         ("signup", "UserParser"), ("error", "ErrorParser")],
+        "event_type STRING, parser_name STRING",
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .join(F.broadcast(parsers), on="event_type")
+        .groupBy("parser_name")
+        .agg(F.count("*").alias("n_routed"))
+    )
+
 # ===========================================================================
 # Entry points used by __spark_entry__.py
 # ===========================================================================

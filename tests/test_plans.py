@@ -1,0 +1,76 @@
+"""Physical-plan assertions — the 100 TB story is in the plan shape.
+
+Checks that Catalyst produces the plans the engine is designed around:
+filter pushdown to the parquet scan, broadcast of small dimensions,
+TakeOrderedAndProject for the lease top-k (per-partition top-k, no global
+sort), and left-anti join for the seen set."""
+
+from pyspark.sql import functions as F
+
+from feapder_spark.crawl import frontier as FR
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_lease_topk_is_take_ordered_not_global_sort(spark):
+    due = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").cast("string").alias("fingerprint"),
+        F.col("o_custkey").cast("int").alias("priority"),
+        F.lit("h").alias("host"),
+    )
+    batch = FR.take_batch(due, 100)
+    plan = _plan(batch)
+    assert "TakeOrderedAndProject" in plan, plan
+    # no full Exchange-then-Sort of the whole frontier
+    assert "Sort [priority" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("event_type")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(ts), LessThan(ts" in plan, plan
+    # column pruning: scan reads only the needed columns (ts is ntz here)
+    assert "ReadSchema: struct<ts:timestamp_ntz,event_type:string>" in plan, plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    budgets = spark.createDataFrame([("h1", 3)], "host STRING, budget INT")
+    due = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").cast("string").alias("fingerprint"),
+        F.lit(300).alias("priority"),
+        F.lit("h1").alias("host"),
+    )
+    out = FR.eligible_under_politeness(due, budgets)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_seen_dedup_is_anti_join(spark):
+    from feapder_spark.operators.seen_set import dedup_new
+
+    cand = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").cast("string").alias("fingerprint"),
+        F.lit(300).alias("priority"),
+        F.lit("u").alias("url"),
+    )
+    seen = spark.createDataFrame([("1",)], "fingerprint STRING")
+    plan = _plan(dedup_new(cand, seen, order_cols=("priority", "url")))
+    assert "LeftAnti" in plan, plan
+
+
+def test_whole_stage_codegen_covers_textstats(spark):
+    from feapder_spark.operators.textstats import quality_score
+
+    df = quality_score(spark.read.parquet(f"{SF}/documents.parquet"))
+    plan = _plan(df)
+    # pure built-in expressions → inside whole-stage codegen, no Python eval
+    assert "[codegen id" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
