@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feapder_spark.crawl import frontier as FR
+from feapder_spark.crawl import robots as RB
 from feapder_spark.crawl import semantics as S
 from feapder_spark.crawl.fetcher import fetch_parse_batch
 from feapder_spark.crawl.parser import (
@@ -65,10 +66,11 @@ METRICS_DDL = (
     "retried LONG, failed LONG"
 )
 PART_METRICS_DDL = "iteration INT, stage STRING, partition_id INT, rows LONG"
+FETCH_CACHE_DDL = "fingerprint STRING, status_code INT, content STRING"
 
 TABLES = [
     "frontier", "seen", "seen_set", "docs", "items", "failed",
-    "crawl_order", "metrics", "metrics_partitions",
+    "crawl_order", "metrics", "metrics_partitions", "fetch_cache", "robots",
 ]
 
 _ITEM_KEYS = ["doc_id", "n_spans", "title", "url"]  # sorted, item.py:141-153
@@ -97,6 +99,16 @@ class CrawlConfig:
     bloom_buckets: int = 64
     bloom_capacity_per_bucket: int = 1_000_000
     bloom_error_rate: float = 1e-5
+    # S8/J4: reuse previously-fetched 200 responses from the fetch_cache
+    # table (request.py:498-532 response-cache semantics, TTL = table prune)
+    use_fetch_cache: bool = False
+    # north-star politeness: fetch+cache robots.txt per host, drop disallowed
+    # candidates, derive per-iteration budgets from Crawl-delay
+    respect_robots: bool = False
+    robots_window_seconds: float = 10.0
+    # F4: user validate hook (url, html) -> bool; False ⇒ abandon (no retry),
+    # raise ⇒ retry (base_parser.py:43-57).  Must be picklable.
+    validate: object = None
 
 
 @dataclass
@@ -158,6 +170,8 @@ class CrawlEngine:
             "metrics": METRICS_DDL,
             "metrics_partitions": PART_METRICS_DDL,
             "seen_set": BloomSeenSet.BLOBS_SCHEMA,
+            "fetch_cache": FETCH_CACHE_DDL,
+            "robots": RB.ROBOTS_DDL,
         }
         for name, ddl in ddls.items():
             if not self.t(name).exists():
@@ -182,6 +196,8 @@ class CrawlEngine:
             .withColumn("host", F.lower(F.coalesce(F.parse_url("url_canon", F.lit("HOST")), F.lit(""))))
             .withColumn("retry_times", F.lit(0))
         )
+        if self.cfg.respect_robots:
+            cands = self._apply_robots(cands)
         new_rows, seen_commit = self._claim_new(cands)
         n_seeded = new_rows.count()
         self.frontier_size = n_seeded
@@ -196,6 +212,31 @@ class CrawlEngine:
     @staticmethod
     def _frontier_cols():
         return ["fingerprint", "url", "url_canon", "host", "priority", "retry_times", "parser_name", "status"]
+
+    def _apply_robots(self, cands):
+        """Fetch robots.txt for not-yet-cached hosts (commit to the robots
+        table), then drop disallowed candidates (crawl/robots.py)."""
+        robots_t = self.t("robots")
+        missing = cands.select("host").distinct().join(
+            robots_t.read().select("host"), on="host", how="left_anti"
+        )
+        fetched = RB.fetch_robots(self.spark, missing, self.resolver, self.iteration).persist()
+        n_miss = fetched.count()
+        if n_miss:
+            robots_t.commit(self._sized(fetched, n_miss), mode="append")
+        fetched.unpersist()
+        return RB.filter_allowed(cands, robots_t.read())
+
+    def _iteration_budgets(self):
+        """Per-iteration host budgets: robots crawl-delay budgets when
+        enabled, else the static politeness dimension."""
+        if self.cfg.respect_robots:
+            dyn = RB.budgets_from_robots(self.t("robots").read(), self.cfg.robots_window_seconds)
+            if self._budgets is not None:
+                both = dyn.unionByName(self._budgets)
+                return both.groupBy("host").agg(F.min("budget").alias("budget"))
+            return dyn
+        return self._budgets
 
     def _claim_new(self, cands):
         """Claim-on-enqueue dedup, exact or Bloom path.
@@ -272,7 +313,7 @@ class CrawlEngine:
         cfg = self.cfg
         frontier_df = self.t("frontier").read()
         due = frontier_df.filter(F.col("status") == S.STATUS_TODO)
-        batch = FR.take_batch(due, cfg.batch_size, self._budgets, self._default_budget)
+        batch = FR.take_batch(due, cfg.batch_size, self._iteration_budgets(), self._default_budget)
         batch = FR.with_lease_seq(batch, self.next_seq).persist()
         leased = batch.count()
         if leased == 0:
@@ -282,21 +323,40 @@ class CrawlEngine:
         # fused fetch+parse: one python eval per task (fetcher.py rationale)
         # host-grouped partitioning only matters when per-host rate limits
         # exist; otherwise round-robin balances perfectly (no host-hash skew)
+        fetch_input = batch
+        if cfg.use_fetch_cache:
+            cache = self.t("fetch_cache").read().select(
+                "fingerprint",
+                F.col("status_code").alias("cached_status"),
+                F.col("content").alias("cached_content"),
+            )
+            fetch_input = batch.join(cache, on="fingerprint", how="left")
         fetched = fetch_parse_batch(
-            batch, self.resolver, by_host=self.cfg.politeness is not None
+            fetch_input,
+            self.resolver,
+            by_host=self.cfg.politeness is not None or cfg.respect_robots,
+            use_cache=cfg.use_fetch_cache,
+            validate=cfg.validate,
         ).persist()
         parsed = fetched.filter(F.col("status_code") == 200)
 
         # one aggregation job covers fetch outcome + retry routing + link counts
+        # (must mirror frontier.route_failures exactly: abandoned ⇒ failed)
         retry_ok = F.col("retry_times") + 1 <= cfg.max_retries
         not_ok = F.col("status_code") != 200
+        abandoned = F.col("status_code") == S.CODE_ABANDONED
         frow = fetched.agg(
             F.sum((~not_ok).cast("long")).alias("ok"),
-            F.sum((not_ok & retry_ok).cast("long")).alias("retried"),
-            F.sum((not_ok & ~retry_ok).cast("long")).alias("failed"),
+            F.sum((not_ok & retry_ok & ~abandoned).cast("long")).alias("retried"),
+            F.sum((not_ok & (~retry_ok | abandoned)).cast("long")).alias("failed"),
             F.sum(
                 F.coalesce(F.size(F.from_json("links_json", FUSED_LINKS_DDL)), F.lit(0)).cast("long")
             ).alias("links_total"),
+            *(
+                [F.sum(F.col("content").isNotNull().cast("long")).alias("cache_new")]
+                if cfg.use_fetch_cache
+                else []
+            ),
         ).first()
         fetched_ok = int(frow["ok"] or 0)
         retried_n = int(frow["retried"] or 0)
@@ -310,6 +370,8 @@ class CrawlEngine:
             .withColumn("retry_times", F.lit(0))
             .withColumn("parser_name", F.lit(cfg.default_parser))
         )
+        if cfg.respect_robots:
+            cands = self._apply_robots(cands)
         new_rows, seen_commit = self._claim_new(cands)
         links_new = new_rows.count()
 
@@ -376,6 +438,15 @@ class CrawlEngine:
             )
         )
         commits.append(lambda: self.t("metrics_partitions").commit(self._sized(part_metrics, 64), mode="append"))
+        if cfg.use_fetch_cache and int(frow["cache_new"] or 0) > 0:
+            cache_rows = fetched.filter(F.col("content").isNotNull()).select(
+                "fingerprint", "status_code", "content"
+            )
+            commits.append(
+                lambda: self.t("fetch_cache").commit(
+                    self._sized(cache_rows, int(frow["cache_new"])), mode="append"
+                )
+            )
         with ThreadPoolExecutor(max_workers=len(commits)) as pool:
             for fut in [pool.submit(c) for c in commits]:
                 fut.result()  # propagate any commit failure before checkpointing

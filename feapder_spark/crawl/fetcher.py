@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from feapder_spark.crawl.semantics import CODE_ABANDONED, CODE_VALIDATE_RETRY
+
 FETCH_EXTRA_DDL = "status_code INT, content STRING, fetch_partition INT"
 
 
@@ -57,7 +59,13 @@ FETCH_PARSE_EXTRA_DDL = (
 )
 
 
-def fetch_parse_batch(batch: DataFrame, resolver, by_host: bool = True) -> DataFrame:
+def fetch_parse_batch(
+    batch: DataFrame,
+    resolver,
+    by_host: bool = True,
+    use_cache: bool = False,
+    validate=None,
+) -> DataFrame:
     """Fused fetch+parse: ONE Arrow hop per task instead of a chain of
     python evals (a chained canonicalize→fetch→parse pipeline runs several
     python workers per task — at local[32] that oversubscribes the box and
@@ -68,13 +76,24 @@ def fetch_parse_batch(batch: DataFrame, resolver, by_host: bool = True) -> DataF
     links_json (JSON array of {u: absolute url, c: canonical url, h: host} —
     canonicalization happens here in python; the md5 fingerprint stays
     JVM-side).
+
+    ``use_cache``: the batch carries ``cached_status``/``cached_content``
+    columns (left-joined from the fetch_cache table, SURVEY S8/J4); cached
+    rows skip the resolver, fresh 200s emit ``content`` for the cache commit.
+
+    ``validate``: user hook ``(url, html) -> bool`` (base_parser.py:43-57):
+    False ⇒ abandoned (status -2, straight to failed), raise ⇒ retry path
+    (status -1), applied only to fetched 200s.
     """
     import json as _json
 
     from feapder_spark.crawl import html as H
     from feapder_spark.urlnorm import canonicalize_url, host_of
 
-    schema_ddl = batch._jdf.schema().toDDL() + ", " + FETCH_PARSE_EXTRA_DDL
+    base = batch.drop("cached_status", "cached_content")  # input-only columns
+    schema_ddl = base._jdf.schema().toDDL() + ", " + FETCH_PARSE_EXTRA_DDL
+    if use_cache:
+        schema_ddl += ", content STRING"
 
     def fp_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -83,9 +102,23 @@ def fetch_parse_batch(batch: DataFrame, resolver, by_host: bool = True) -> DataF
         for pdf in it:
             if not len(pdf):
                 continue
-            codes, titles, n_spans_l, spans_l, links_l = [], [], [], [], []
-            for url, url_canon, retry in zip(pdf["url"], pdf["url_canon"], pdf["retry_times"]):
-                status, raw = resolver.resolve(url, attempt=int(retry))
+            codes, titles, n_spans_l, spans_l, links_l, contents = [], [], [], [], [], []
+            cached_status = pdf["cached_status"] if use_cache else [None] * len(pdf)
+            cached_content = pdf["cached_content"] if use_cache else [None] * len(pdf)
+            for url, url_canon, retry, c_status, c_content in zip(
+                pdf["url"], pdf["url_canon"], pdf["retry_times"], cached_status, cached_content
+            ):
+                from_cache = use_cache and c_status is not None and not pd.isna(c_status)
+                if from_cache:
+                    status, raw = int(c_status), c_content
+                else:
+                    status, raw = resolver.resolve(url, attempt=int(retry))
+                if status == 200 and validate is not None:
+                    try:
+                        if not validate(url, raw):
+                            status = CODE_ABANDONED
+                    except Exception:
+                        status = CODE_VALIDATE_RETRY
                 codes.append(status)
                 if status == 200:
                     spans, links, title = H.parse_document(url_canon, raw)
@@ -100,12 +133,14 @@ def fetch_parse_batch(batch: DataFrame, resolver, by_host: bool = True) -> DataF
                             ]
                         )
                     )
+                    contents.append(None if from_cache else raw)
                 else:
                     titles.append(None)
                     n_spans_l.append(0)
                     spans_l.append(None)
                     links_l.append(None)
-            yield pdf.assign(
+                    contents.append(None)
+            out = pdf.drop(columns=["cached_status", "cached_content"], errors="ignore").assign(
                 status_code=codes,
                 title=titles,
                 n_spans=n_spans_l,
@@ -113,6 +148,9 @@ def fetch_parse_batch(batch: DataFrame, resolver, by_host: bool = True) -> DataF
                 links_json=links_l,
                 stage_partition=pid,
             )
+            if use_cache:
+                out = out.assign(content=contents)
+            yield out
 
     # explicit partition count: AQE's byte-based coalescing would collapse
     # this CPU-bound (per-row python) stage into a couple of tasks — URL rows

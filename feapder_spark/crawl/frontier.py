@@ -79,10 +79,13 @@ def with_lease_seq(batch: DataFrame, seq_start: int) -> DataFrame:
 
 def route_failures(failures: DataFrame, max_retries: int = S.MAX_RETRIES) -> DataFrame:
     """Retry/failed routing (parser_control.py:298-301, semantics.failure_route):
-    adds ``route`` ('todo'=retry | 'failed') and increments retry_times."""
+    adds ``route`` ('todo'=retry | 'failed') and increments retry_times.
+    An abandoned request (validate returned False, CODE_ABANDONED) fails
+    immediately with no retry (parser_control.py:158-160)."""
+    abandoned = F.col("status_code") == S.CODE_ABANDONED
     return failures.withColumn(
         "route",
-        F.when(F.col("retry_times") + 1 > max_retries, F.lit(S.STATUS_FAILED)).otherwise(
+        F.when(abandoned | (F.col("retry_times") + 1 > max_retries), F.lit(S.STATUS_FAILED)).otherwise(
             F.lit(S.STATUS_TODO)
         ),
     ).withColumn("retry_times", F.col("retry_times") + 1)

@@ -30,6 +30,12 @@ STATUS_TODO = "todo"
 STATUS_DONE = "done"
 STATUS_FAILED = "failed"
 
+# synthetic status codes for the validate hook (base_parser.py:43-57 contract:
+# False => abandon without retry, parser_control.py:158-160; raise => retry,
+# parser_control.py:555-557)
+CODE_ABANDONED = -2
+CODE_VALIDATE_RETRY = -1
+
 
 def failure_route(retry_times: int, max_retries: int = MAX_RETRIES) -> str:
     """Route a just-failed request (parser_control.py:298-301):

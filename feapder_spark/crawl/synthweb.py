@@ -165,6 +165,17 @@ class SyntheticWeb:
             return 503, ""
         return 200, self.gen_page(canonical)
 
+    def robots_txt(self, host: str) -> str:
+        """Deterministic synthetic robots.txt: ~1/3 of hosts disallow the
+        /page-1 prefix, ~1/4 declare a crawl-delay."""
+        x = _h("robots:" + host, self.seed)
+        lines = ["User-agent: *"]
+        if x % 3 == 0:
+            lines.append("Disallow: /page-1")
+        if x % 4 == 0:
+            lines.append(f"Crawl-delay: {1 + x % 5}")
+        return "\n".join(lines)
+
     def politeness_budgets(self, default_per_iter: int = 1_000_000, hot_cap: int = 4) -> dict[str, int]:
         """Per-host max fetches per iteration; hot (low-index Zipf) hosts get
         a tight cap so the politeness scheduler is actually exercised."""
@@ -173,3 +184,21 @@ class SyntheticWeb:
             budgets[f"host-{i}.test"] = hot_cap
         budgets["__default__"] = default_per_iter
         return budgets
+
+
+@dataclass
+class MarkingWeb(SyntheticWeb):
+    """Test instrument: records every resolve() call as a marker file in
+    ``marker_dir`` (executors share the local FS in local mode) — used to
+    verify the fetch cache actually skips the resolver (S8 tests)."""
+
+    marker_dir: str = ""
+
+    def resolve(self, url: str, attempt: int = 0) -> tuple[int, str]:
+        if self.marker_dir:
+            import os
+
+            os.makedirs(self.marker_dir, exist_ok=True)
+            name = hashlib.md5(f"{url}|{attempt}".encode()).hexdigest()
+            open(os.path.join(self.marker_dir, name), "w").close()
+        return super().resolve(url, attempt)
