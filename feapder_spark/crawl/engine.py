@@ -109,6 +109,12 @@ class CrawlConfig:
     # F4: user validate hook (url, html) -> bool; False ⇒ abandon (no retry),
     # raise ⇒ retry (base_parser.py:43-57).  Must be picklable.
     validate: object = None
+    # user parse hook (url_canon, html) -> (spans, links, title); defaults to
+    # the reference-ordered pipeline (html.parse_document) — the parser
+    # subclass contract of the reference (base_parser.py:21-123)
+    parse_fn: object = None
+    # explicit hot-domain salting: split one host over up to N executors
+    host_salt_splits: int = 1
 
 
 @dataclass
@@ -337,6 +343,8 @@ class CrawlEngine:
             by_host=self.cfg.politeness is not None or cfg.respect_robots,
             use_cache=cfg.use_fetch_cache,
             validate=cfg.validate,
+            host_salt_splits=cfg.host_salt_splits,
+            parse_fn=cfg.parse_fn,
         ).persist()
         parsed = fetched.filter(F.col("status_code") == 200)
 

@@ -65,6 +65,8 @@ def fetch_parse_batch(
     by_host: bool = True,
     use_cache: bool = False,
     validate=None,
+    host_salt_splits: int = 1,
+    parse_fn=None,
 ) -> DataFrame:
     """Fused fetch+parse: ONE Arrow hop per task instead of a chain of
     python evals (a chained canonicalize→fetch→parse pipeline runs several
@@ -121,7 +123,7 @@ def fetch_parse_batch(
                         status = CODE_VALIDATE_RETRY
                 codes.append(status)
                 if status == 200:
-                    spans, links, title = H.parse_document(url_canon, raw)
+                    spans, links, title = (parse_fn or H.parse_document)(url_canon, raw)
                     titles.append(title)
                     n_spans_l.append(len(spans))
                     spans_l.append(_json.dumps(spans))
@@ -156,8 +158,18 @@ def fetch_parse_batch(
     # this CPU-bound (per-row python) stage into a couple of tasks — URL rows
     # are tiny but each costs a fetch+parse.  An explicit count is honored
     # by AQE; by_host keeps one host's fetches on one executor (politeness).
+    # host_salt_splits > 1 salts the partition key so one hot (Zipf-head)
+    # domain spreads over up to that many executors — the explicit skew
+    # handling the north rule asks for; the per-host rate budget still binds
+    # globally because it is enforced upstream at lease time (frontier.py).
     n_parts = batch.sparkSession.sparkContext.defaultParallelism
-    src = batch.repartition(n_parts, "host") if by_host else batch.repartition(n_parts)
+    if by_host and host_salt_splits > 1:
+        salt = F.pmod(F.xxhash64("fingerprint"), F.lit(host_salt_splits))
+        src = batch.repartition(n_parts, F.col("host"), salt)
+    elif by_host:
+        src = batch.repartition(n_parts, "host")
+    else:
+        src = batch.repartition(n_parts)
     return src.mapInPandas(fp_map, schema=schema_ddl)
 
 

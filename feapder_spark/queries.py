@@ -685,6 +685,24 @@ def parser_routing(spark, sf_dir):
         .agg(F.count("*").alias("n_routed"))
     )
 
+
+@register(
+    "lang_id",
+    """
+    SELECT doc_id, lang AS lang_actual,
+           CASE WHEN len(regexp_extract_all(lower(text), '\\b(the|a)\\b')) > 0
+                THEN 'en' ELSE 'unk' END AS lang_pred,
+           CAST(len(regexp_extract_all(lower(text), '\\b(the|a)\\b')) AS BIGINT) AS en_hits
+    FROM documents
+    """,
+)
+def lang_id(spark, sf_dir):
+    """Language-ID heuristic (marker scoring — the n-gram-table shape)."""
+    out = TS.lang_id(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "lang_actual", "lang_pred", F.col("en_hits").cast("long").alias("en_hits")
+    )
+
 # ===========================================================================
 # Entry points used by __spark_entry__.py
 # ===========================================================================
