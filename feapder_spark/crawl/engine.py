@@ -425,7 +425,12 @@ class CrawlEngine:
         commits = [lambda: seen_commit(links_new, self.iteration)]
         if fetched_ok > 0:
             commits.append(
-                lambda: self.t("docs").commit(self._sized(docs_from_fused(parsed), fetched_ok), mode="append")
+                # span docs are wide (~10 KB/row): size for ~200 MB files,
+                # not the 100k-rows default meant for slim rows
+                lambda: self.t("docs").commit(
+                    self._sized(docs_from_fused(parsed), fetched_ok, rows_per_file=20_000),
+                    mode="append",
+                )
             )
             commits.append(
                 lambda: self.t("items").commit(self._sized(items_new, fetched_ok), mode="append")

@@ -112,11 +112,13 @@ def dataplane_at(cpus: int, n_hosts: int, pages_per_host: int, page_weight: int 
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    # full mode: one mega-batch (production-sized relative to fixed costs)
     params = dict(
-        n_hosts=200 if quick else 400,
-        pages_per_host=60 if quick else 120,
-        batch_size=12000 if quick else 24000,
-        iterations=2,
+        n_hosts=200 if quick else 550,
+        pages_per_host=60 if quick else 320,
+        batch_size=12000 if quick else 176_000,
+        iterations=2 if quick else 1,
+        page_weight=3 if quick else 6,
     )
     dp_hosts, dp_pages = (300, 160) if quick else (600, 320)
     d2 = dataplane_at(2, dp_hosts, dp_pages)
