@@ -703,6 +703,38 @@ def lang_id(spark, sf_dir):
         "doc_id", "lang_actual", "lang_pred", F.col("en_hits").cast("long").alias("en_hits")
     )
 
+
+EMB_NEARDUP_SQL = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.45
+    """
+
+
+@register("embedding_neardup_pairs", EMB_NEARDUP_SQL)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute-force verification stage;
+    the LSH buckets of ann_lsh_buckets are the candidate-generation scale
+    path).  Self-join + JVM higher-order-function dot products."""
+    from feapder_spark.operators.similarity import _dot, _norm
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.45)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
+    )
+
 # ===========================================================================
 # Entry points used by __spark_entry__.py
 # ===========================================================================
