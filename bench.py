@@ -48,7 +48,7 @@ HEADLINE = [
 ]
 
 
-def crawl_bench(spark, n_hosts=150, pages_per_host=60, batch_size=6000, max_iterations=4):
+def crawl_bench(spark, n_hosts=150, pages_per_host=60, batch_size=6000, max_iterations=4, seen="exact"):
     """Crawl throughput: URLs fetched+deduped per second on the synthetic
     frontier (the north-star metric at sandbox scale).  Seeds cover the
     whole page grid so every iteration leases a full batch — measuring
@@ -63,7 +63,11 @@ def crawl_bench(spark, n_hosts=150, pages_per_host=60, batch_size=6000, max_iter
         for p in range(pages_per_host)
     ]
     with tempfile.TemporaryDirectory() as wh:
-        engine = CrawlEngine(spark, wh, web, CrawlConfig(batch_size=batch_size))
+        engine = CrawlEngine(
+            spark, wh, web,
+            CrawlConfig(batch_size=batch_size, seen_set=seen, bloom_buckets=64,
+                        bloom_capacity_per_bucket=500_000),
+        )
         engine.seed(seeds)
         t0 = time.time()
         stats = engine.run(max_iterations=max_iterations)
@@ -114,6 +118,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     crawl = crawl_bench(spark)
+    crawl_bloom = crawl_bench(spark, seen="bloom")
 
     out = {
         "metric": "headline query suite wall time at sf (plus crawl URLs/sec + dedup keys/sec)",
@@ -123,6 +128,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "crawl": crawl,
+        "crawl_bloom": crawl_bloom,
         "dedup_keys_per_sec": dedup_rate,
     }
     print(json.dumps(out))

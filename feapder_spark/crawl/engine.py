@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from feapder_spark.crawl import frontier as FR
 from feapder_spark.crawl import robots as RB
+from feapder_spark.crawl.politeness import BUCKETS_DDL, TokenBuckets
 from feapder_spark.crawl import semantics as S
 from feapder_spark.crawl.fetcher import fetch_parse_batch
 from feapder_spark.crawl.parser import (
@@ -71,6 +72,7 @@ FETCH_CACHE_DDL = "fingerprint STRING, status_code INT, content STRING"
 TABLES = [
     "frontier", "seen", "seen_set", "docs", "items", "failed",
     "crawl_order", "metrics", "metrics_partitions", "fetch_cache", "robots",
+    "token_buckets",
 ]
 
 _ITEM_KEYS = ["doc_id", "n_spans", "title", "url"]  # sorted, item.py:141-153
@@ -106,6 +108,10 @@ class CrawlConfig:
     # candidates, derive per-iteration budgets from Crawl-delay
     respect_robots: bool = False
     robots_window_seconds: float = 10.0
+    # token-bucket rate limiting (north rule): {"rate": r, "burst": b,
+    # "hosts": {host: rate}} — hosts accrue r tokens/iteration up to b,
+    # each leased fetch spends one, unused tokens carry over
+    token_bucket: dict | None = None
     # F4: user validate hook (url, html) -> bool; False ⇒ abandon (no retry),
     # raise ⇒ retry (base_parser.py:43-57).  Must be picklable.
     validate: object = None
@@ -143,6 +149,10 @@ class CrawlEngine:
         self._default_budget = (
             (self.cfg.politeness or {}).get("__default__", 1_000_000_000)
         )
+        tb = self.cfg.token_bucket
+        self._buckets = (
+            TokenBuckets(tb["rate"], tb["burst"], tb.get("hosts")) if tb else None
+        )
         self._bloom = (
             BloomSeenSet(
                 num_buckets=self.cfg.bloom_buckets,
@@ -178,6 +188,7 @@ class CrawlEngine:
             "seen_set": BloomSeenSet.BLOBS_SCHEMA,
             "fetch_cache": FETCH_CACHE_DDL,
             "robots": RB.ROBOTS_DDL,
+            "token_buckets": BUCKETS_DDL,
         }
         for name, ddl in ddls.items():
             if not self.t(name).exists():
@@ -319,7 +330,20 @@ class CrawlEngine:
         cfg = self.cfg
         frontier_df = self.t("frontier").read()
         due = frontier_df.filter(F.col("status") == S.STATUS_TODO)
-        batch = FR.take_batch(due, cfg.batch_size, self._iteration_budgets(), self._default_budget)
+        budgets = self._iteration_budgets()
+        accrued = None
+        if self._buckets is not None:
+            state = self.t("token_buckets").read()
+            accrued = self._buckets.accrue(
+                self.spark, state, due.select("host"), self.iteration
+            ).persist()
+            tb_budgets = TokenBuckets.budgets(accrued)
+            budgets = (
+                tb_budgets
+                if budgets is None
+                else budgets.unionByName(tb_budgets).groupBy("host").agg(F.min("budget").alias("budget"))
+            )
+        batch = FR.take_batch(due, cfg.batch_size, budgets, self._default_budget)
         batch = FR.with_lease_seq(batch, self.next_seq).persist()
         leased = batch.count()
         if leased == 0:
@@ -451,6 +475,12 @@ class CrawlEngine:
             )
         )
         commits.append(lambda: self.t("metrics_partitions").commit(self._sized(part_metrics, 64), mode="append"))
+        if accrued is not None:
+            leased_ph = batch.groupBy("host").agg(F.count("*").alias("n_leased"))
+            new_state = self._buckets.spend(accrued, leased_ph)
+            commits.append(
+                lambda: self.t("token_buckets").commit(self._sized(new_state, 10_000), mode="overwrite")
+            )
         if cfg.use_fetch_cache and int(frow["cache_new"] or 0) > 0:
             cache_rows = fetched.filter(F.col("content").isNotNull()).select(
                 "fingerprint", "status_code", "content"
@@ -490,6 +520,8 @@ class CrawlEngine:
 
         for df in (batch, fetched, new_rows):
             df.unpersist()
+        if accrued is not None:
+            accrued.unpersist()
         return st
 
     def reload_failed(self) -> int:

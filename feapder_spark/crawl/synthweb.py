@@ -108,7 +108,7 @@ class SyntheticWeb:
 
         # anchors
         anchors = []
-        n_links = 1 + rng.randrange(self.n_links)
+        n_links = 1 + rng.randrange(self.n_links) if self.n_links > 0 else 0
         for _ in range(n_links):
             kind = rng.randrange(10)
             if kind == 0:  # stop-list exercise
