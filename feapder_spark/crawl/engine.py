@@ -524,6 +524,27 @@ class CrawlEngine:
             accrued.unpersist()
         return st
 
+    def health_check(self, failed_threshold: int = 1000, min_success_rate: float = 0.5) -> list[str]:
+        """Stall/alarm monitors (scheduler.py:321-405): too many failures,
+        low success rate, frozen frontier.  Driver-side over the checkpoint
+        labels — no Spark job."""
+        alarms = []
+        stats = [c["label"]["stats"] for c in self.store.list_checkpoints() if c["label"].get("stats")]
+        if not stats:
+            return alarms
+        total_failed = sum(s["failed"] for s in stats)
+        if total_failed > failed_threshold:
+            alarms.append(f"failed_count {total_failed} > {failed_threshold}")
+        leased = sum(s["leased"] for s in stats)
+        ok = sum(s["fetched_ok"] for s in stats)
+        if leased and ok / leased < min_success_rate:
+            alarms.append(f"success_rate {ok / leased:.2f} < {min_success_rate}")
+        if len(stats) >= 3 and all(
+            s["fetched_ok"] == 0 and s["links_new"] == 0 for s in stats[-3:]
+        ):
+            alarms.append("frontier frozen: 3 iterations with no progress")
+        return alarms
+
     def reload_failed(self) -> int:
         """Re-enqueue every parked failed request with retry_times reset to
         0, skipping dedup (they are already claimed in the seen set) —
