@@ -63,10 +63,13 @@ def crawl_bench(spark, n_hosts=150, pages_per_host=60, batch_size=6000, max_iter
         for p in range(pages_per_host)
     ]
     with tempfile.TemporaryDirectory() as wh:
+        # bloom sizing follows the workload: ~50k fingerprints at bench scale
+        # → 32 buckets × 30k capacity ≈ 0.1 MB blobs (same bucket-count-scales-
+        # with-keys rule a 10^10 deployment uses: 4096 × 2.5e6)
         engine = CrawlEngine(
             spark, wh, web,
-            CrawlConfig(batch_size=batch_size, seen_set=seen, bloom_buckets=64,
-                        bloom_capacity_per_bucket=500_000),
+            CrawlConfig(batch_size=batch_size, seen_set=seen, bloom_buckets=32,
+                        bloom_capacity_per_bucket=30_000),
         )
         engine.seed(seeds)
         t0 = time.time()
