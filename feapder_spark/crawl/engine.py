@@ -364,7 +364,7 @@ class CrawlEngine:
         fetched = fetch_parse_batch(
             fetch_input,
             self.resolver,
-            by_host=self.cfg.politeness is not None or cfg.respect_robots,
+            by_host=cfg.politeness is not None or cfg.respect_robots or self._buckets is not None,
             use_cache=cfg.use_fetch_cache,
             validate=cfg.validate,
             host_salt_splits=cfg.host_salt_splits,
