@@ -92,11 +92,15 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def ngram_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", n: int = 3,
+    min_jaccard: float | None = None,
+) -> DataFrame:
     """Exact word-n-gram Jaccard for candidate pairs (verification stage).
 
     ``pairs``: (doc_a, doc_b).  Returns (doc_a, doc_b, jaccard) with
-    jaccard rounded to 4 decimals.
+    jaccard rounded to 4 decimals; ``min_jaccard`` filters on the *raw*
+    ratio (before rounding) so thresholds match SQL oracles exactly.
     """
     sh = word_shingles(df, text_col, n).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -106,16 +110,13 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    return (
+    scored = (
         pairs.join(inter, on=["doc_a", "doc_b"], how="left")
         .fillna(0, subset=["n_inter"])
         .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4
-            ).alias("jaccard"),
-        )
     )
+    raw = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    if min_jaccard is not None:
+        scored = scored.filter(raw >= min_jaccard)
+    return scored.select("doc_a", "doc_b", F.round(raw, 4).alias("jaccard"))

@@ -735,6 +735,52 @@ def embedding_neardup_pairs(spark, sf_dir):
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
     )
 
+
+@register(
+    "minhash_verified_dups",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, array_length(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE array_length(t) >= 3),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    seeds AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS seed),
+    sig AS (
+      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh, seeds GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             md5(min(minhash) || ',' || max(minhash)) AS band_hash
+      FROM sig GROUP BY doc_id, seed // 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shd x ON x.doc_id = c.doc_a
+      JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter), 4) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) >= 0.2
+    """,
+)
+def minhash_verified_dups(spark, sf_dir):
+    """The composed near-dup pipeline: MinHash-LSH candidate generation →
+    exact n-gram-Jaccard verification on candidates only (never all pairs) —
+    the dedup shape that scales to 100 TB corpora."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = MH.minhash_signatures(docs, n_hashes=8)
+    cands = MH.band_candidates(sigs, rows_per_band=2)
+    return MH.ngram_jaccard_pairs(docs, cands, min_jaccard=0.2)
+
 # ===========================================================================
 # Entry points used by __spark_entry__.py
 # ===========================================================================
