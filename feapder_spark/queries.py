@@ -781,6 +781,43 @@ def minhash_verified_dups(spark, sf_dir):
     cands = MH.band_candidates(sigs, rows_per_band=2)
     return MH.ngram_jaccard_pairs(docs, cands, min_jaccard=0.2)
 
+
+@register(
+    "text_to_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, CAST(ceil(array_length(t) / 10.0) AS INTEGER)),
+                    i -> {'o': i, 'txt': array_to_string(t[i*10+1 : i*10+10], ' ')})) AS s
+      FROM toks)
+    SELECT doc_id, CAST((s).o AS INT) AS offset, 'text' AS kind, (s).txt AS span_text
+    FROM spans
+    """,
+)
+def text_to_spans(spark, sf_dir):
+    """The input_hint document shape: segment each document into an ordered
+    span sequence (kind, text, offset) — 10-token text spans here; the crawl
+    engine's docs table carries the interleaved text+media variant of the
+    same structure (engine DOCS_DDL)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("o"),
+            F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)).alias("txt"),
+        ),
+    )
+    return d.select("doc_id", F.explode(spans).alias("s")).select(
+        "doc_id",
+        F.col("s.o").alias("offset"),
+        F.lit("text").alias("kind"),
+        F.col("s.txt").alias("span_text"),
+    )
+
 # ===========================================================================
 # Entry points used by __spark_entry__.py
 # ===========================================================================
