@@ -348,6 +348,30 @@ class CrawlEngine:
         leased = batch.count()
         if leased == 0:
             batch.unpersist()
+            if accrued is not None:
+                accrued.unpersist()
+            if (
+                self._buckets is not None
+                and self._buckets.rate > 0
+                and self.frontier_size > 0
+            ):
+                # idle-accrual tick: due rows exist but every host is out of
+                # tokens — advance the iteration so buckets refill (the
+                # reference's collector just sleeps, collector.py:57-61).
+                # Bucket state is NOT committed, so elapsed-iterations accrual
+                # covers the idle gap (politeness.TokenBuckets.accrue).
+                st = IterationStats(self.iteration, 0, 0, 0, 0, 0, 0)
+                self.iteration += 1
+                self.store.checkpoint(
+                    {
+                        "iteration": self.iteration,
+                        "next_seq": self.next_seq,
+                        "frontier_size": self.frontier_size,
+                        "stats": st.__dict__,
+                    },
+                    TABLES,
+                )
+                return st
             return None
 
         # fused fetch+parse: one python eval per task (fetcher.py rationale)

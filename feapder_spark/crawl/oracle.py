@@ -45,10 +45,15 @@ def run_oracle(
     max_retries: int = S.MAX_RETRIES,
     max_iterations: int | None = None,
     politeness: dict[str, int] | None = None,
+    token_bucket: dict | None = None,
 ) -> OracleResult:
     res = OracleResult()
     # frontier: fingerprint -> row dict
     frontier: dict[str, dict] = {}
+    # token-bucket state mirroring crawl/politeness.py exactly: hosts carry
+    # (tokens, updated_iteration) only while they have due rows; a host
+    # absent from an iteration's due set drops out and restarts at burst
+    bucket_state: dict[str, tuple[float, int]] = {}
 
     def enqueue(url: str, priority: int, *, claim: bool = True, retry_times: int = 0) -> None:
         canon = canonicalize_url(url)
@@ -74,13 +79,36 @@ def run_oracle(
         if max_iterations is not None and res.iterations >= max_iterations:
             break
         due = [r for r in frontier.values() if r["status"] == S.STATUS_TODO]
-        # politeness: per-host rank (priority, fp) must stay within budget
+        # per-host budgets: static politeness and/or token-bucket accrual
+        budgets: dict[str, int] | None = None
+        default_budget = 10**9
         if politeness:
             default_budget = politeness.get("__default__", 10**9)
+            budgets = {h: b for h, b in politeness.items() if h != "__default__"}
+        if token_bucket:
+            rate, burst = token_bucket["rate"], token_bucket["burst"]
+            due_hosts = {r["host"] for r in due}
+            accrued: dict[str, tuple[float, int]] = {}
+            for h in due_hosts:
+                if h in bucket_state:
+                    tokens, upd = bucket_state[h]
+                    tokens = min(burst, tokens + (res.iterations - upd) * rate)
+                else:
+                    tokens = burst
+                accrued[h] = (tokens, res.iterations)
+            tb_budgets = {h: int(t) for h, (t, _) in accrued.items()}
+            if budgets is None:
+                budgets = tb_budgets
+            else:
+                budgets = {
+                    h: min(budgets.get(h, default_budget), tb_budgets.get(h, 10**9))
+                    for h in set(budgets) | set(tb_budgets)
+                }
+        if budgets is not None:
             per_host_count: dict[str, int] = {}
             eligible = []
             for r in sorted(due, key=lambda r: (r["priority"], r["fingerprint"])):
-                budget = politeness.get(r["host"], default_budget)
+                budget = budgets.get(r["host"], default_budget)
                 c = per_host_count.get(r["host"], 0)
                 if c < budget:
                     per_host_count[r["host"]] = c + 1
@@ -89,7 +117,24 @@ def run_oracle(
             eligible = due
         batch = sorted(eligible, key=lambda r: (r["priority"], r["fingerprint"]))[:batch_size]
         if not batch:
+            if token_bucket and due and token_bucket["rate"] > 0:
+                # idle-accrual tick (engine mirror: state not updated, so
+                # elapsed-iterations accrual covers the idle gap)
+                res.metrics.append(
+                    {"iteration": res.iterations, "leased": 0, "fetched_ok": 0,
+                     "links_new": 0, "links_dup": 0, "retried": 0, "failed": 0}
+                )
+                res.iterations += 1
+                continue
             break
+        if token_bucket:
+            # spend one token per leased fetch; state rows exist only for due hosts
+            spent: dict[str, int] = {}
+            for r in batch:
+                spent[r["host"]] = spent.get(r["host"], 0) + 1
+            bucket_state = {
+                h: (max(0.0, t - spent.get(h, 0)), upd) for h, (t, upd) in accrued.items()
+            }
         m = {"iteration": res.iterations, "leased": len(batch), "fetched_ok": 0,
              "links_new": 0, "links_dup": 0, "retried": 0, "failed": 0}
         for r in batch:
