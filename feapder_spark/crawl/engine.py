@@ -51,6 +51,7 @@ from feapder_spark.crawl.parser import (
     docs_from_fused,
     link_candidates_fused,
 )
+from feapder_spark.crawl.items import item_fp_col as _items_fp_col
 from feapder_spark.operators.seen_set import BloomSeenSet, dedup_new, mark_in_batch_first
 from feapder_spark.store import SnapshotStore
 
@@ -60,7 +61,13 @@ DOCS_DDL = (
     "spans ARRAY<STRUCT<kind: STRING, text: STRING, media_ref: STRING, offset: INT>>"
 )
 ITEMS_DDL = "item_fp STRING, doc_id STRING, url STRING, title STRING, n_spans INT"
-FAILED_DDL = "fingerprint STRING, url STRING, retry_times INT, status_code INT"
+# the failed park keeps the full frontier row (the reference re-puts the
+# original serialized request, preserving priority and parser routing —
+# handle_failed_requests.py:29-54), not just the fingerprint/url
+FAILED_DDL = (
+    "fingerprint STRING, url STRING, url_canon STRING, host STRING, "
+    "priority INT, parser_name STRING, retry_times INT, status_code INT"
+)
 ORDER_DDL = "seq LONG, iteration INT, fingerprint STRING"
 METRICS_DDL = (
     "iteration INT, leased LONG, fetched_ok LONG, links_new LONG, links_dup LONG, "
@@ -79,12 +86,11 @@ _ITEM_KEYS = ["doc_id", "n_spans", "title", "url"]  # sorted, item.py:141-153
 
 
 def item_fp_col() -> F.Column:
-    """JVM-side item fingerprint = md5 over sorted key+str(value) pairs."""
-    parts = []
-    for k in _ITEM_KEYS:
-        parts.append(F.lit(k))
-        parts.append(F.col(k).cast("string"))
-    return F.md5(F.concat(*parts))
+    """JVM-side item fingerprint = md5 over sorted key+str(value) pairs.
+    Delegates to items.item_fp_col so NULL values hash as str(None)='None'
+    (item.py:141-153) — a raw concat would yield NULL fingerprints that the
+    left-anti dedup join can never match."""
+    return _items_fp_col(_ITEM_KEYS)
 
 
 @dataclass
@@ -249,10 +255,9 @@ class CrawlEngine:
         enabled, else the static politeness dimension."""
         if self.cfg.respect_robots:
             dyn = RB.budgets_from_robots(self.t("robots").read(), self.cfg.robots_window_seconds)
-            if self._budgets is not None:
-                both = dyn.unionByName(self._budgets)
-                return both.groupBy("host").agg(F.min("budget").alias("budget"))
-            return dyn
+            # full-outer min so the static __default__ still caps hosts that
+            # only the robots dimension names (frontier.merge_budgets)
+            return FR.merge_budgets(self._budgets, self._default_budget, dyn)
         return self._budgets
 
     def _claim_new(self, cands):
@@ -338,11 +343,10 @@ class CrawlEngine:
                 self.spark, state, due.select("host"), self.iteration
             ).persist()
             tb_budgets = TokenBuckets.budgets(accrued)
-            budgets = (
-                tb_budgets
-                if budgets is None
-                else budgets.unionByName(tb_budgets).groupBy("host").agg(F.min("budget").alias("budget"))
-            )
+            # min(coalesce(static, default), token_budget) per host — a plain
+            # union+min would let every token-bucket row bypass the static
+            # __default__ cap (oracle.py:100-106 takes the min with default)
+            budgets = FR.merge_budgets(budgets, self._default_budget, tb_budgets)
         batch = FR.take_batch(due, cfg.batch_size, budgets, self._default_budget)
         batch = FR.with_lease_seq(batch, self.next_seq).persist()
         leased = batch.count()
@@ -438,7 +442,8 @@ class CrawlEngine:
         )
         retries = routed.filter(F.col("route") == S.STATUS_TODO).select(*self._frontier_cols())
         failed_new = routed.filter(F.col("route") == S.STATUS_FAILED).select(
-            "fingerprint", "url", "retry_times", "status_code"
+            "fingerprint", "url", "url_canon", "host", "priority", "parser_name",
+            "retry_times", "status_code",
         )
 
         # --- items (export-then-commit-fingerprint, item_buffer.py:351-358) ---
@@ -563,8 +568,12 @@ class CrawlEngine:
         ok = sum(s["fetched_ok"] for s in stats)
         if leased and ok / leased < min_success_rate:
             alarms.append(f"success_rate {ok / leased:.2f} < {min_success_rate}")
-        if len(stats) >= 3 and all(
-            s["fetched_ok"] == 0 and s["links_new"] == 0 for s in stats[-3:]
+        # frozen-frontier window: only iterations that actually leased count —
+        # token-bucket idle-accrual ticks (leased=0 while hosts refill) are
+        # legitimate rate-limit waits, not stalls
+        active = [s for s in stats if s["leased"] > 0]
+        if len(active) >= 3 and all(
+            s["fetched_ok"] == 0 and s["links_new"] == 0 for s in active[-3:]
         ):
             alarms.append("frontier frozen: 3 iterations with no progress")
         return alarms
@@ -580,13 +589,10 @@ class CrawlEngine:
         if n == 0:
             failed.unpersist()
             return 0
+        # restore the original priority / parser routing / canonical form from
+        # the parked row (reput of the original request, not a recompute)
         revived = (
-            failed.select("fingerprint", "url")
-            .withColumn("url_canon", canonicalize_udf("url"))
-            .withColumn("host", F.lower(F.coalesce(F.parse_url("url_canon", F.lit("HOST")), F.lit(""))))
-            .withColumn("priority", F.lit(self.cfg.link_priority))
-            .withColumn("retry_times", F.lit(0))
-            .withColumn("parser_name", F.lit(self.cfg.default_parser))
+            failed.withColumn("retry_times", F.lit(0))
             .withColumn("status", F.lit(S.STATUS_TODO))
             .select(*self._frontier_cols())
         )

@@ -38,6 +38,34 @@ def budgets_df(spark: SparkSession, budgets: dict[str, int]) -> DataFrame:
     return spark.createDataFrame(rows, "host STRING, budget INT")
 
 
+def merge_budgets(base: DataFrame | None, base_default: int, extra: DataFrame) -> DataFrame:
+    """Combine two per-host budget sources into one: effective budget =
+    min over sources, where a host absent from a source falls back to that
+    source's default (``base_default`` for the static politeness dimension,
+    unlimited for the dynamic one).
+
+    A plain union+min would let a dynamic row (token bucket / robots
+    crawl-delay) *bypass* the static ``__default__`` cap: every due host gets
+    an explicit dynamic row, so the downstream coalesce-to-default never
+    fires.  The full-outer join keeps the default in the min for hosts the
+    static dimension doesn't name (the oracle computes
+    ``min(static.get(h, default), dynamic.get(h, inf))``, oracle.py:100-106).
+    """
+    if base is None:
+        return extra
+    b = base.withColumnRenamed("budget", "_base_budget")
+    e = extra.withColumnRenamed("budget", "_extra_budget")
+    return b.join(e, on="host", how="full_outer").select(
+        "host",
+        F.least(
+            F.coalesce(F.col("_base_budget"), F.lit(int(base_default))),
+            F.coalesce(F.col("_extra_budget"), F.lit(2_000_000_000)),
+        )
+        .cast("int")
+        .alias("budget"),
+    )
+
+
 def eligible_under_politeness(
     due: DataFrame, budgets: DataFrame | None, default_budget: int = 1_000_000_000
 ) -> DataFrame:

@@ -17,6 +17,15 @@ class DemoSpider(Spider):
     batch_size = 16
 
 
+def none_title_parse(url_canon, html):
+    """Parse hook returning title=None — exercises str(None) fingerprint
+    semantics (item.py:141-153) through the JVM item_fp path."""
+    from feapder_spark.crawl import html as H
+
+    spans, links, _ = H.parse_document(url_canon, html)
+    return spans, links, None
+
+
 class HookedDemoSpider(Spider):
     """Custom validate (abandon host-1) + custom parse (uppercase titles)."""
 
