@@ -294,9 +294,19 @@ class CrawlEngine:
             mark_in_batch_first(cands, order_cols=("priority", "url"))
             .filter(F.col("is_first_in_batch") == 1)
             .drop("is_first_in_batch")
+            .persist()
         )
-        blobs = self.t("seen_set").read()
-        results, new_blobs = self._bloom.check_and_add(firsts.select("fingerprint"), blobs)
+        # driver-side partition pruning: collect the candidates' bucket ids
+        # (≤ num_buckets tiny ints) and read ONLY those blob partitions — the
+        # untouched ~15 MB blobs are never opened, in Python or the JVM
+        touched_keys = [
+            r[0]
+            for r in firsts.select(self._bloom.bucket_col("fingerprint").alias("bucket"))
+            .distinct()
+            .collect()
+        ]
+        blobs = self.t("seen_set").read_partitions(touched_keys)
+        results, _, touched = self._bloom.check_and_add(firsts.select("fingerprint"), blobs)
         new_rows = (
             firsts.join(results.filter(F.col("is_new") == 1).select("fingerprint"), on="fingerprint")
             .withColumn("status", F.lit(S.STATUS_TODO))
@@ -305,8 +315,10 @@ class CrawlEngine:
         )
 
         def commit_fn(n_new, iteration):
-            # blobs always rewrite (membership bits advanced even for dups)
-            self.t("seen_set").commit(new_blobs, mode="overwrite")
+            # dynamic partition overwrite: only touched buckets move
+            # (membership bits advanced even for dup-only buckets)
+            self.t("seen_set").commit_partitions(touched, "bucket")
+            firsts.unpersist()
 
         return new_rows, commit_fn
 

@@ -13,9 +13,12 @@ filters (dedup/bloomfilter.py, dedup/expirefilter.py):
   (bucket, generation, bits BINARY); membership+insert is one cogrouped
   ``applyInPandas`` over (candidates ⨝ blobs) per bucket, generations chain
   at 50% fill exactly like the reference's ScalableBloomFilter
-  (bloomfilter.py:142-162, 245-278).  Only touched buckets rewrite — the
-  shuffle moves fingerprints (16 B each) and the touched blobs, never the
-  whole set.
+  (bloomfilter.py:142-162, 245-278).  Incremental: blobs are left-semi
+  joined to the candidates' buckets before the cogroup, so only touched
+  blobs enter Python; the engine additionally partition-prunes the blob
+  *read* (SnapshotTable.read_partitions) and commits only the touched
+  partitions (commit_partitions) — per-iteration I/O ∝ touched buckets,
+  never the whole set.
 
 Expiry (the reference's ExpireFilter, expirefilter.py:17-81) is a predicate
 on ``added_at`` in the exact table: :func:`prune_expired`.
@@ -94,20 +97,31 @@ class BloomSeenSet:
 
     def check_and_add(
         self, candidates: DataFrame, blobs: DataFrame, fp_col: str = FP_COL
-    ) -> tuple[DataFrame, DataFrame]:
-        """(results, new_blobs).
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(results, new_blobs, touched_blobs).
 
         ``candidates`` must already be unique per fingerprint (apply
         :func:`mark_in_batch_first` upstream) — is_new is per fingerprint.
-        ``results``: (fingerprint, is_new); ``new_blobs``: full updated blob
-        set for the touched buckets **plus** untouched blobs passed through,
-        so the output is a complete replacement table.
+        ``results``: (fingerprint, is_new).  ``touched_blobs``: the updated
+        blobs of ONLY the buckets that had candidates — commit these with a
+        partition-level overwrite (SnapshotTable.commit_partitions) so
+        per-iteration write bytes ∝ touched buckets, not the whole set.
+        ``new_blobs``: touched ∪ untouched passthrough (a complete
+        replacement table) for callers that manage blobs as one frame.
+
+        Incremental by construction: blobs are left-semi joined to the
+        candidates' buckets BEFORE the cogroup, so untouched blobs never
+        deserialize in Python and never shuffle — they pass through JVM-side
+        (or better, are never read at all when the caller partition-prunes
+        the blob scan with read_partitions).
         """
         cap, err = self.capacity_per_bucket, self.error_rate
 
         keyed = candidates.select(F.col(fp_col).alias("fingerprint")).withColumn(
             "bucket", self.bucket_col("fingerprint")
         )
+        cand_buckets = keyed.select("bucket").distinct()
+        blobs_in = blobs.join(cand_buckets, on="bucket", how="left_semi")
 
         def per_bucket(key, cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
             bucket = int(key[0])
@@ -147,16 +161,16 @@ class BloomSeenSet:
 
         out = (
             keyed.groupBy("bucket")
-            .cogroup(blobs.groupBy("bucket"))
+            .cogroup(blobs_in.groupBy("bucket"))
             .applyInPandas(per_bucket, schema=self._OUT_SCHEMA)
         )
         out = out.persist()
         self._last_out = out  # caller may .release() after committing results
         results = out.filter(F.col("kind") == "r").select("fingerprint", "is_new")
         touched = out.filter(F.col("kind") == "b").select("bucket", "generation", "bits")
-        untouched = blobs.join(touched.select("bucket").distinct(), on="bucket", how="left_anti")
+        untouched = blobs.join(cand_buckets, on="bucket", how="left_anti")
         new_blobs = touched.unionByName(untouched)
-        return results, new_blobs
+        return results, new_blobs, touched
 
     def release(self) -> None:
         """Unpersist the cogroup output of the last check_and_add (call after

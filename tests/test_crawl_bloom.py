@@ -29,3 +29,10 @@ def test_bloom_engine_matches_oracle(spark, tmp_path):
     # blobs exist and only the touched buckets are materialized
     blobs = engine.t("seen_set").read()
     assert 0 < blobs.count() <= 8 * 2
+    # incremental commits: the table is partition-mode and its current state
+    # references more than one commit's segment — proof that later iterations
+    # rewrote only their touched buckets instead of the whole set
+    man = engine.t("seen_set").manifest()
+    assert man.partitions
+    segments_referenced = {p.split("/")[0] for p in man.partitions.values()}
+    assert len(segments_referenced) > 1
