@@ -31,6 +31,25 @@ from feapder_spark.crawl import semantics as S
 from feapder_spark.crawl.engine import CrawlConfig, CrawlEngine, IterationStats
 
 
+class BaseParser:
+    """Secondary parser for :meth:`Spider.add_parser` — the reference's
+    multi-template surface (core/base_parser.py:21-123 + Spider.add_parser,
+    core/scheduler.py add_parser / parser_control.py:85-86 name-dispatch).
+    Requests whose ``parser_name`` equals this class's name route here."""
+
+    @property
+    def name(self) -> str:
+        return type(self).__name__
+
+    def validate(self, url: str, html: str) -> bool:  # noqa: ARG002
+        return True
+
+    def parse(self, url_canon: str, html: str):
+        from feapder_spark.crawl import html as H
+
+        return H.parse_document(url_canon, html)
+
+
 class Spider:
     """Subclass-and-run facade over CrawlEngine."""
 
@@ -69,10 +88,28 @@ class Spider:
         return H.parse_document(url_canon, html)
 
     # -- lifecycle -------------------------------------------------------------
+    def add_parser(self, parser) -> None:
+        """Register a secondary parser (Spider.add_parser of the reference,
+        tests/spider-integration/main.py:19-24).  Accepts a BaseParser
+        subclass or instance; requests route to it by parser_name."""
+        if isinstance(parser, type):
+            parser = parser()
+        if not hasattr(self, "_extra_parsers"):
+            self._extra_parsers = []
+        self._extra_parsers.append(parser)
+
     def _config(self) -> CrawlConfig:
         cls = type(self)
         overrides_validate = cls.validate is not Spider.validate
         overrides_parse = cls.parse is not Spider.parse
+        parsers = None
+        for p in getattr(self, "_extra_parsers", []):
+            parsers = parsers or {}
+            pcls = type(p)
+            spec = {"parse_fn": p.parse}
+            if pcls.validate is not BaseParser.validate:
+                spec["validate"] = p.validate
+            parsers[p.name] = spec
         return CrawlConfig(
             batch_size=self.batch_size,
             max_retries=self.max_retries,
@@ -83,6 +120,7 @@ class Spider:
             default_parser=cls.__name__,
             validate=self.validate if overrides_validate else None,
             parse_fn=self.parse if overrides_parse else None,
+            parsers=parsers,
         )
 
     def _seeds(self) -> list[dict]:

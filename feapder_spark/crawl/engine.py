@@ -24,10 +24,15 @@ Scale notes (the 100 TB story):
   sort; the frontier scan prunes on status/priority columns.
 - the seen set is either the exact fingerprint table (anti-join, shuffle
   bounded by candidate count — fingerprints are 16 B) or the bucketed Bloom
-  blobs (operators/seen_set.py) where only touched buckets move.
-- the frontier rewrite is the snapshot-store stand-in for an Iceberg
-  MERGE INTO with bucket(host) partition pruning; the interface point is
-  one method (_commit_frontier) so the Iceberg backend swaps in cleanly.
+  blobs (operators/seen_set.py): partition-pruned read of the touched
+  buckets only + dynamic-partition-overwrite commit of the same.
+- the frontier is a DELTA log: adds are append-only, a lease appends
+  tombstones keyed by (fingerprint, retry_times, added_iteration), and the
+  visible set is adds ⟕anti tombstones — per-iteration write bytes are
+  O(batch), never O(frontier).  Compaction folds tombstones back in when
+  they exceed the visible size.  On Iceberg both tables bucket by
+  fingerprint so the anti-join is co-partitioned (storage-partitioned
+  join, no shuffle); that bucketing is this store's one deferred seam.
 - each iteration's lineage is cut by persisted micro-batch frames; state
   never accumulates in driver memory (no collect of data rows anywhere).
 """
@@ -44,7 +49,7 @@ from feapder_spark.crawl import frontier as FR
 from feapder_spark.crawl import robots as RB
 from feapder_spark.crawl.politeness import BUCKETS_DDL, TokenBuckets
 from feapder_spark.crawl import semantics as S
-from feapder_spark.crawl.fetcher import fetch_parse_batch
+from feapder_spark.crawl.fetcher import fetch_parse_batch, route_failures_hooked
 from feapder_spark.crawl.parser import (
     FUSED_LINKS_DDL,
     canonicalize_udf,
@@ -52,6 +57,7 @@ from feapder_spark.crawl.parser import (
     link_candidates_fused,
 )
 from feapder_spark.crawl.items import item_fp_col as _items_fp_col
+from feapder_spark.urlnorm import request_fingerprint
 from feapder_spark.operators.seen_set import BloomSeenSet, dedup_new, mark_in_batch_first
 from feapder_spark.store import SnapshotStore
 
@@ -62,11 +68,12 @@ DOCS_DDL = (
 )
 ITEMS_DDL = "item_fp STRING, doc_id STRING, url STRING, title STRING, n_spans INT"
 # the failed park keeps the full frontier row (the reference re-puts the
-# original serialized request, preserving priority and parser routing —
-# handle_failed_requests.py:29-54), not just the fingerprint/url
+# original serialized request, preserving priority, parser routing and the
+# request payload — handle_failed_requests.py:29-54), not just the url
 FAILED_DDL = (
     "fingerprint STRING, url STRING, url_canon STRING, host STRING, "
-    "priority INT, parser_name STRING, retry_times INT, status_code INT"
+    "priority INT, parser_name STRING, retry_times INT, status_code INT, "
+    "method STRING, payload MAP<STRING, STRING>"
 )
 ORDER_DDL = "seq LONG, iteration INT, fingerprint STRING"
 METRICS_DDL = (
@@ -75,9 +82,12 @@ METRICS_DDL = (
 )
 PART_METRICS_DDL = "iteration INT, stage STRING, partition_id INT, rows LONG"
 FETCH_CACHE_DDL = "fingerprint STRING, status_code INT, content STRING"
+# tombstone delta log: one row per leased frontier-row version; the visible
+# frontier is adds ⟕anti tombstones on exactly these three columns
+TOMBS_DDL = "fingerprint STRING, retry_times INT, added_iteration INT"
 
 TABLES = [
-    "frontier", "seen", "seen_set", "docs", "items", "failed",
+    "frontier", "frontier_tombs", "seen", "seen_set", "docs", "items", "failed",
     "crawl_order", "metrics", "metrics_partitions", "fetch_cache", "robots",
     "token_buckets",
 ]
@@ -100,6 +110,9 @@ class CrawlConfig:
     default_parser: str = "TestParser"
     politeness: dict | None = None  # host -> per-iteration budget; "__default__" key
     link_priority: int = S.DEFAULT_PRIORITY
+    # frontier tombstone compaction: fold the delta log back into the adds
+    # table when tombstones exceed max(this floor, visible frontier size)
+    compact_min_tombstones: int = 100_000
     # URL-seen set implementation: "exact" (fingerprint table, anti-join) or
     # "bloom" (bucketed scalable-Bloom blobs — the 10^10-frontier scale path;
     # only touched buckets move per iteration, memory ~3 bytes/URL at P=1e-5)
@@ -125,6 +138,19 @@ class CrawlConfig:
     # the reference-ordered pipeline (html.parse_document) — the parser
     # subclass contract of the reference (base_parser.py:21-123)
     parse_fn: object = None
+    # multi-parser dispatch (parser_control.py:85-86, add_parser):
+    # {parser_name: {"parse_fn": fn, "validate": fn}}; each request routes to
+    # the parser matching its parser_name column, falling back to
+    # parse_fn/validate above.  Links emitted as (url, parser_name) pairs
+    # route explicitly; bare links inherit the emitting row's parser.
+    parsers: dict | None = None
+    # failure hooks (base_parser.py:71-95): exception_request(req_dict) runs
+    # on every non-200 row BEFORE retry routing and may return a replacement
+    # dict (url/priority/parser_name/payload), False to abandon, or None to
+    # keep the request unchanged; failed_request(req_dict) observes each
+    # terminal failure and may return a replacement dict for the failed park.
+    exception_request: object = None
+    failed_request: object = None
     # explicit hot-domain salting: split one host over up to N executors
     host_salt_splits: int = 1
 
@@ -149,6 +175,7 @@ class CrawlEngine:
         self.iteration = 0
         self.next_seq = 0
         self.frontier_size = 0  # maintained from known per-iteration deltas
+        self.tombstone_rows = 0  # delta-log size; compaction resets it
         self._budgets = (
             FR.budgets_df(spark, self.cfg.politeness) if self.cfg.politeness else None
         )
@@ -184,6 +211,7 @@ class CrawlEngine:
     def _init_tables(self):
         ddls = {
             "frontier": FR.FRONTIER_DDL,
+            "frontier_tombs": TOMBS_DDL,
             "seen": SEEN_DDL,
             "docs": DOCS_DDL,
             "items": ITEMS_DDL,
@@ -204,20 +232,45 @@ class CrawlEngine:
         """Seed the frontier; skipped when a frontier already exists
         (resume semantics, scheduler.py:197-201).  Returns True if seeded."""
         self._init_tables()
-        if self.t("frontier").read().limit(1).count() > 0:
+        if self._read_frontier().limit(1).count() > 0:
             return False
+        # seeding onto a drained frontier: truncate the delta log so stale
+        # tombstones (whose row-version keys restart with a fresh engine's
+        # iteration counter) can never shadow the new seed rows
+        if self.t("frontier_tombs").read().limit(1).count() > 0:
+            self.t("frontier").commit(
+                self.spark.createDataFrame([], FR.FRONTIER_DDL), mode="overwrite"
+            )
+            self.t("frontier_tombs").commit(
+                self.spark.createDataFrame([], TOMBS_DDL), mode="overwrite"
+            )
+            self.tombstone_rows = 0
+        rows = []
+        for s in seeds:
+            data = s.get("data")
+            # body args fold into the fingerprint (request.py:465-480); the
+            # str(dict) hash needs the user's insertion order, so it is
+            # computed here (seed lists are driver-side already), not in JVM
+            fp_pre = request_fingerprint(s["url"], data=data) if data else None
+            rows.append(
+                (
+                    s["url"], int(s.get("priority", S.DEFAULT_PRIORITY)),
+                    s.get("parser_name", self.cfg.default_parser),
+                    s.get("method"), data, fp_pre,
+                )
+            )
         df = self.spark.createDataFrame(
-            [
-                (s["url"], int(s.get("priority", S.DEFAULT_PRIORITY)), s.get("parser_name", self.cfg.default_parser))
-                for s in seeds
-            ],
-            "url STRING, priority INT, parser_name STRING",
+            rows,
+            "url STRING, priority INT, parser_name STRING, method STRING, "
+            "payload MAP<STRING, STRING>, fp_pre STRING",
         )
         cands = (
             df.withColumn("url_canon", canonicalize_udf("url"))
-            .withColumn("fingerprint", F.md5("url_canon"))
+            .withColumn("fingerprint", F.coalesce(F.col("fp_pre"), F.md5("url_canon")))
+            .drop("fp_pre")
             .withColumn("host", F.lower(F.coalesce(F.parse_url("url_canon", F.lit("HOST")), F.lit(""))))
             .withColumn("retry_times", F.lit(0))
+            .withColumn("added_iteration", F.lit(self.iteration))
         )
         if self.cfg.respect_robots:
             cands = self._apply_robots(cands)
@@ -228,13 +281,41 @@ class CrawlEngine:
         seen_commit(n_seeded, -1)
         if self._bloom is not None:
             self._bloom.release()
-        self.store.checkpoint({"iteration": 0, "next_seq": 0, "frontier_size": n_seeded}, TABLES)
+        self.store.checkpoint(self._label(), TABLES)
         new_rows.unpersist()
         return True
 
     @staticmethod
     def _frontier_cols():
-        return ["fingerprint", "url", "url_canon", "host", "priority", "retry_times", "parser_name", "status"]
+        return [
+            "fingerprint", "url", "url_canon", "host", "priority", "retry_times",
+            "parser_name", "status", "added_iteration", "method", "payload",
+        ]
+
+    def _label(self, **extra) -> dict:
+        label = {
+            "iteration": self.iteration,
+            "next_seq": self.next_seq,
+            "frontier_size": self.frontier_size,
+            "tombstone_rows": self.tombstone_rows,
+        }
+        label.update(extra)
+        return label
+
+    def frontier(self) -> DataFrame:
+        """Public accessor for the visible frontier."""
+        return self._read_frontier()
+
+    def _read_frontier(self) -> DataFrame:
+        """Visible frontier = adds ⟕anti tombstones on the row-version key.
+        On Iceberg both sides bucket by fingerprint, making this a
+        storage-partitioned join (no shuffle); here it is a plain anti-join
+        whose shuffle is bounded by the delta-log size between compactions."""
+        adds = self.t("frontier").read()
+        tombs = self.t("frontier_tombs").read()
+        return adds.join(
+            tombs, on=["fingerprint", "retry_times", "added_iteration"], how="left_anti"
+        )
 
     def _apply_robots(self, cands):
         """Fetch robots.txt for not-yet-cached hosts (commit to the robots
@@ -341,12 +422,12 @@ class CrawlEngine:
             self.iteration = ckpt["label"]["iteration"]
             self.next_seq = ckpt["label"]["next_seq"]
             self.frontier_size = ckpt["label"].get("frontier_size", 0)
+            self.tombstone_rows = ckpt["label"].get("tombstone_rows", 0)
         return ckpt
 
     def _iterate(self) -> IterationStats | None:
         cfg = self.cfg
-        frontier_df = self.t("frontier").read()
-        due = frontier_df.filter(F.col("status") == S.STATUS_TODO)
+        due = self._read_frontier().filter(F.col("status") == S.STATUS_TODO)
         budgets = self._iteration_budgets()
         accrued = None
         if self._buckets is not None:
@@ -361,34 +442,6 @@ class CrawlEngine:
             budgets = FR.merge_budgets(budgets, self._default_budget, tb_budgets)
         batch = FR.take_batch(due, cfg.batch_size, budgets, self._default_budget)
         batch = FR.with_lease_seq(batch, self.next_seq).persist()
-        leased = batch.count()
-        if leased == 0:
-            batch.unpersist()
-            if accrued is not None:
-                accrued.unpersist()
-            if (
-                self._buckets is not None
-                and self._buckets.rate > 0
-                and self.frontier_size > 0
-            ):
-                # idle-accrual tick: due rows exist but every host is out of
-                # tokens — advance the iteration so buckets refill (the
-                # reference's collector just sleeps, collector.py:57-61).
-                # Bucket state is NOT committed, so elapsed-iterations accrual
-                # covers the idle gap (politeness.TokenBuckets.accrue).
-                st = IterationStats(self.iteration, 0, 0, 0, 0, 0, 0)
-                self.iteration += 1
-                self.store.checkpoint(
-                    {
-                        "iteration": self.iteration,
-                        "next_seq": self.next_seq,
-                        "frontier_size": self.frontier_size,
-                        "stats": st.__dict__,
-                    },
-                    TABLES,
-                )
-                return st
-            return None
 
         # fused fetch+parse: one python eval per task (fetcher.py rationale)
         # host-grouped partitioning only matters when per-host rate limits
@@ -409,15 +462,19 @@ class CrawlEngine:
             validate=cfg.validate,
             host_salt_splits=cfg.host_salt_splits,
             parse_fn=cfg.parse_fn,
+            parsers=cfg.parsers,
         ).persist()
         parsed = fetched.filter(F.col("status_code") == 200)
 
-        # one aggregation job covers fetch outcome + retry routing + link counts
+        # ONE aggregation job covers lease count + fetch outcome + retry
+        # routing + link counts — it is also the action that materializes the
+        # persisted batch and fetched frames (no separate batch.count() job)
         # (must mirror frontier.route_failures exactly: abandoned ⇒ failed)
         retry_ok = F.col("retry_times") + 1 <= cfg.max_retries
         not_ok = F.col("status_code") != 200
         abandoned = F.col("status_code") == S.CODE_ABANDONED
         frow = fetched.agg(
+            F.count(F.lit(1)).alias("leased"),
             F.sum((~not_ok).cast("long")).alias("ok"),
             F.sum((not_ok & retry_ok & ~abandoned).cast("long")).alias("retried"),
             F.sum((not_ok & (~retry_ok | abandoned)).cast("long")).alias("failed"),
@@ -430,6 +487,27 @@ class CrawlEngine:
                 else []
             ),
         ).first()
+        leased = int(frow["leased"] or 0)
+        if leased == 0:
+            batch.unpersist()
+            fetched.unpersist()
+            if accrued is not None:
+                accrued.unpersist()
+            if (
+                self._buckets is not None
+                and self._buckets.rate > 0
+                and self.frontier_size > 0
+            ):
+                # idle-accrual tick: due rows exist but every host is out of
+                # tokens — advance the iteration so buckets refill (the
+                # reference's collector just sleeps, collector.py:57-61).
+                # Bucket state is NOT committed, so elapsed-iterations accrual
+                # covers the idle gap (politeness.TokenBuckets.accrue).
+                st = IterationStats(self.iteration, 0, 0, 0, 0, 0, 0)
+                self.iteration += 1
+                self.store.checkpoint(self._label(stats=st.__dict__), TABLES)
+                return st
+            return None
         fetched_ok = int(frow["ok"] or 0)
         retried_n = int(frow["retried"] or 0)
         failed_n = int(frow["failed"] or 0)
@@ -440,7 +518,10 @@ class CrawlEngine:
             link_candidates_fused(parsed)
             .withColumn("priority", F.lit(cfg.link_priority))
             .withColumn("retry_times", F.lit(0))
-            .withColumn("parser_name", F.lit(cfg.default_parser))
+            .withColumn("parser_name", F.coalesce(F.col("parser_name"), F.lit(cfg.default_parser)))
+            .withColumn("added_iteration", F.lit(self.iteration))
+            .withColumn("method", F.lit(None).cast("string"))
+            .withColumn("payload", F.lit(None).cast("map<string,string>"))
         )
         if cfg.respect_robots:
             cands = self._apply_robots(cands)
@@ -449,13 +530,24 @@ class CrawlEngine:
 
         # --- retry / failed routing ---
         failures = fetched.filter(not_ok)
-        routed = FR.route_failures(
-            failures.select(*self._frontier_cols(), "status_code"), cfg.max_retries
-        )
+        fail_src = failures.select(*self._frontier_cols(), "status_code")
+        routed_persisted = False
+        if cfg.exception_request is not None or cfg.failed_request is not None:
+            # user hooks may transform requests or flip routing, so the
+            # route counts come from the routed frame, not the fetch agg
+            routed = route_failures_hooked(
+                fail_src, cfg.max_retries, cfg.exception_request, cfg.failed_request
+            ).persist()
+            routed_persisted = True
+            counts = {r["route"]: r["n"] for r in routed.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()}
+            retried_n = int(counts.get(S.STATUS_TODO, 0))
+            failed_n = int(counts.get(S.STATUS_FAILED, 0))
+        else:
+            routed = FR.route_failures(fail_src, cfg.max_retries)
         retries = routed.filter(F.col("route") == S.STATUS_TODO).select(*self._frontier_cols())
         failed_new = routed.filter(F.col("route") == S.STATUS_FAILED).select(
             "fingerprint", "url", "url_canon", "host", "priority", "parser_name",
-            "retry_times", "status_code",
+            "retry_times", "status_code", "method", "payload",
         )
 
         # --- items (export-then-commit-fingerprint, item_buffer.py:351-358) ---
@@ -483,11 +575,23 @@ class CrawlEngine:
         # checkpoint, so the independent table commits run concurrently
         # (Spark schedules jobs from multiple driver threads in parallel);
         # empty frames skip their commit entirely.
-        remaining = frontier_df.join(batch.select("fingerprint"), on="fingerprint", how="left_anti")
-        new_frontier = remaining.unionByName(retries).unionByName(new_rows)
+        # frontier delta: append the new/retry rows and tombstone the leased
+        # row versions — O(batch) write bytes, never an O(frontier) rewrite
+        additions = retries.unionByName(new_rows)
+        tombstones = batch.select("fingerprint", "retry_times", "added_iteration")
         self.frontier_size = self.frontier_size - leased + retried_n + links_new
+        self.tombstone_rows += leased
 
         commits = [lambda: seen_commit(links_new, self.iteration)]
+        if retried_n + links_new > 0:
+            commits.append(
+                lambda: self.t("frontier").commit(
+                    self._sized(additions, retried_n + links_new), mode="append"
+                )
+            )
+        commits.append(
+            lambda: self.t("frontier_tombs").commit(self._sized(tombstones, leased), mode="append")
+        )
         if fetched_ok > 0:
             commits.append(
                 # span docs are wide (~10 KB/row): size for ~200 MB files,
@@ -504,9 +608,6 @@ class CrawlEngine:
             commits.append(
                 lambda: self.t("failed").commit(self._sized(failed_new, failed_n), mode="append")
             )
-        commits.append(
-            lambda: self.t("frontier").commit(self._sized(new_frontier, self.frontier_size), mode="overwrite")
-        )
         commits.append(
             lambda: self.t("crawl_order").commit(
                 self._sized(
@@ -549,21 +650,30 @@ class CrawlEngine:
         self.next_seq += leased
         # iteration summary travels in the checkpoint label (no Spark job);
         # the metrics table is materialized from the labels at end of run()
-        self.store.checkpoint(
-            {
-                "iteration": self.iteration,
-                "next_seq": self.next_seq,
-                "frontier_size": self.frontier_size,
-                "stats": st.__dict__,
-            },
-            TABLES,
-        )
+        self.store.checkpoint(self._label(stats=st.__dict__), TABLES)
 
         for df in (batch, fetched, new_rows):
             df.unpersist()
+        if routed_persisted:
+            routed.unpersist()
         if accrued is not None:
             accrued.unpersist()
+        if self.tombstone_rows >= max(self.cfg.compact_min_tombstones, self.frontier_size):
+            self.compact_frontier()
         return st
+
+    def compact_frontier(self) -> None:
+        """Fold the tombstone delta log back into the adds table: adds :=
+        visible, tombstones := ∅.  The visible set is unchanged (pure
+        maintenance, like Iceberg rewrite_data_files), so crawl semantics
+        are unaffected; runs when tombstones outgrow the visible frontier."""
+        visible = self._read_frontier()
+        self.t("frontier").commit(self._sized(visible, self.frontier_size), mode="overwrite")
+        self.t("frontier_tombs").commit(
+            self.spark.createDataFrame([], TOMBS_DDL), mode="overwrite"
+        )
+        self.tombstone_rows = 0
+        self.store.checkpoint(self._label(compacted=True), TABLES)
 
     def health_check(self, failed_threshold: int = 1000, min_success_rate: float = 0.5) -> list[str]:
         """Stall/alarm monitors (scheduler.py:321-405): too many failures,
@@ -602,27 +712,22 @@ class CrawlEngine:
             failed.unpersist()
             return 0
         # restore the original priority / parser routing / canonical form from
-        # the parked row (reput of the original request, not a recompute)
+        # the parked row (reput of the original request, not a recompute).
+        # Terminal failures were tombstoned at lease time, so the revived
+        # rows are plain appends — added_iteration = the current iteration
+        # keeps the row-version key unique (the original add is in the past).
         revived = (
             failed.withColumn("retry_times", F.lit(0))
             .withColumn("status", F.lit(S.STATUS_TODO))
+            .withColumn("added_iteration", F.lit(self.iteration))
             .select(*self._frontier_cols())
         )
-        frontier = self.t("frontier").read().join(
-            failed.select("fingerprint"), on="fingerprint", how="left_anti"
-        )
         self.frontier_size += n
-        self.t("frontier").commit(
-            self._sized(frontier.unionByName(revived), self.frontier_size), mode="overwrite"
-        )
+        self.t("frontier").commit(self._sized(revived, n), mode="append")
         self.t("failed").commit(
             self.spark.createDataFrame([], FAILED_DDL), mode="overwrite"
         )
-        self.store.checkpoint(
-            {"iteration": self.iteration, "next_seq": self.next_seq,
-             "frontier_size": self.frontier_size, "reloaded_failed": n},
-            TABLES,
-        )
+        self.store.checkpoint(self._label(reloaded_failed=n), TABLES)
         failed.unpersist()
         return n
 

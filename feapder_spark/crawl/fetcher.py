@@ -67,6 +67,7 @@ def fetch_parse_batch(
     validate=None,
     host_salt_splits: int = 1,
     parse_fn=None,
+    parsers: dict | None = None,
 ) -> DataFrame:
     """Fused fetch+parse: ONE Arrow hop per task instead of a chain of
     python evals (a chained canonicalize→fetch→parse pipeline runs several
@@ -86,6 +87,18 @@ def fetch_parse_batch(
     ``validate``: user hook ``(url, html) -> bool`` (base_parser.py:43-57):
     False ⇒ abandoned (status -2, straight to failed), raise ⇒ retry path
     (status -1), applied only to fetched 200s.
+
+    ``parsers``: multi-parser dispatch (parser_control.py:85-86: each request
+    routes to the parser whose name matches its ``parser_name``) — a dict
+    ``{parser_name: {"parse_fn": fn, "validate": fn}}``; rows whose
+    parser_name has no entry fall back to the batch-level hooks.  Each
+    parse_fn may emit links as plain URLs (routed back to the emitting row's
+    parser, the reference's default-callback rule, request.py:100-110) or as
+    ``(url, parser_name)`` pairs (explicit callback routing).
+
+    Rows may carry ``method``/``payload`` columns (TaskSpider per-task
+    params, network/request.py:45-81); they are forwarded to the resolver
+    when present.
     """
     import json as _json
 
@@ -107,34 +120,49 @@ def fetch_parse_batch(
             codes, titles, n_spans_l, spans_l, links_l, contents = [], [], [], [], [], []
             cached_status = pdf["cached_status"] if use_cache else [None] * len(pdf)
             cached_content = pdf["cached_content"] if use_cache else [None] * len(pdf)
-            for url, url_canon, retry, c_status, c_content in zip(
-                pdf["url"], pdf["url_canon"], pdf["retry_times"], cached_status, cached_content
+            pnames = pdf["parser_name"] if "parser_name" in pdf.columns else [None] * len(pdf)
+            methods = pdf["method"] if "method" in pdf.columns else [None] * len(pdf)
+            payloads = pdf["payload"] if "payload" in pdf.columns else [None] * len(pdf)
+            for url, url_canon, retry, c_status, c_content, pname, method, payload in zip(
+                pdf["url"], pdf["url_canon"], pdf["retry_times"], cached_status,
+                cached_content, pnames, methods, payloads,
             ):
+                spec = (parsers or {}).get(pname)
+                row_validate = spec.get("validate", validate) if spec else validate
+                row_parse = spec.get("parse_fn") if spec else None
+                row_parse = row_parse or parse_fn or H.parse_document
                 from_cache = use_cache and c_status is not None and not pd.isna(c_status)
                 if from_cache:
                     status, raw = int(c_status), c_content
+                elif method is not None or payload is not None:
+                    status, raw = resolver.resolve(
+                        url, attempt=int(retry),
+                        method=method or "GET", data=dict(payload) if payload is not None else None,
+                    )
                 else:
                     status, raw = resolver.resolve(url, attempt=int(retry))
-                if status == 200 and validate is not None:
+                if status == 200 and row_validate is not None:
                     try:
-                        if not validate(url, raw):
+                        if not row_validate(url, raw):
                             status = CODE_ABANDONED
                     except Exception:
                         status = CODE_VALIDATE_RETRY
                 codes.append(status)
                 if status == 200:
-                    spans, links, title = (parse_fn or H.parse_document)(url_canon, raw)
+                    spans, links, title = row_parse(url_canon, raw)
                     titles.append(title)
                     n_spans_l.append(len(spans))
                     spans_l.append(_json.dumps(spans))
-                    links_l.append(
-                        _json.dumps(
-                            [
-                                {"u": ln, "c": (c := canonicalize_url(ln)), "h": host_of(c)}
-                                for ln in links
-                            ]
-                        )
-                    )
+                    out_links = []
+                    for ln in links:
+                        # (url, parser_name) = explicit callback routing;
+                        # bare url inherits the emitting row's parser
+                        lp = pname
+                        if isinstance(ln, (tuple, list)):
+                            ln, lp = ln[0], ln[1]
+                        c = canonicalize_url(ln)
+                        out_links.append({"u": ln, "c": c, "h": host_of(c), "p": lp})
+                    links_l.append(_json.dumps(out_links))
                     contents.append(None if from_cache else raw)
                 else:
                     titles.append(None)
@@ -171,6 +199,66 @@ def fetch_parse_batch(
     else:
         src = batch.repartition(n_parts)
     return src.mapInPandas(fp_map, schema=schema_ddl)
+
+
+def route_failures_hooked(
+    failures: DataFrame,
+    max_retries: int,
+    exception_request=None,
+    failed_request=None,
+) -> DataFrame:
+    """Failure routing with the reference's user hooks (parser_control.py:
+    283-342 over base_parser.py:71-95), as one Arrow stage over the (small)
+    failure frame.  Must mirror frontier.route_failures when both hooks pass.
+
+    - ``exception_request(req_dict) -> dict | False | None`` runs first and
+      may replace url/priority/parser_name/payload (a url change recomputes
+      url_canon/host/fingerprint — the transformed request re-enqueues
+      without dedup, like the reference's filter_repeat=False), return False
+      to abandon, or None to keep the request as-is.
+    - terminal rows (retry exhausted or abandoned) then pass through
+      ``failed_request(req_dict) -> dict | None`` before parking; a returned
+      dict replaces the parked row (the reference's "modified request enters
+      the failed table" rule).  Item emission from failed_request is not
+      supported — route items through a parse hook instead.
+    """
+    from feapder_spark.crawl.semantics import STATUS_FAILED, failure_route
+    from feapder_spark.urlnorm import canonicalize_url, get_md5, host_of
+
+    schema_ddl = failures._jdf.schema().toDDL() + ", route STRING"
+
+    def rmap(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cols = list(pdf.columns)
+            out_rows = []
+            for _, row in pdf.iterrows():
+                d = {c: row[c] for c in cols}
+                abandoned = int(d["status_code"]) == CODE_ABANDONED
+                if exception_request is not None:
+                    res = exception_request(dict(d))
+                    if res is False:
+                        abandoned = True
+                    elif isinstance(res, dict):
+                        d.update(res)
+                        if "url" in res:
+                            d["url_canon"] = canonicalize_url(d["url"])
+                            d["host"] = host_of(d["url_canon"])
+                            d["fingerprint"] = get_md5(d["url_canon"])
+                if abandoned:
+                    d["route"] = STATUS_FAILED
+                else:
+                    d["route"] = failure_route(int(d["retry_times"]), max_retries)
+                if d["route"] == STATUS_FAILED and failed_request is not None:
+                    res = failed_request(dict(d))
+                    if isinstance(res, dict):
+                        d.update(res)
+                d["retry_times"] = int(d["retry_times"]) + 1
+                out_rows.append(d)
+            yield pd.DataFrame(out_rows, columns=cols + ["route"])
+
+    return failures.mapInPandas(rmap, schema=schema_ddl)
 
 
 def fetch_metrics(fetched: DataFrame) -> DataFrame:

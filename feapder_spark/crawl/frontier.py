@@ -27,9 +27,17 @@ from pyspark.sql import functions as F
 
 from feapder_spark.crawl import semantics as S
 
+# added_iteration makes each (fingerprint, retry_times, added_iteration) row
+# version unique — the key the tombstone delta log anti-joins on (a retry
+# re-adds the same fingerprint with retry_times+1; a revived failed request
+# re-adds retry_times=0 at a later iteration)
+# method/payload carry TaskSpider-style per-task request params through the
+# frontier (network/request.py:45-81); the fingerprint covers the body args
+# (request.py:465-480 via urlnorm.request_fingerprint)
 FRONTIER_DDL = (
     "fingerprint STRING, url STRING, url_canon STRING, host STRING, "
-    "priority INT, retry_times INT, parser_name STRING, status STRING"
+    "priority INT, retry_times INT, parser_name STRING, status STRING, "
+    "added_iteration INT, method STRING, payload MAP<STRING, STRING>"
 )
 
 

@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 from feapder_spark.crawl import html as H
 from feapder_spark.crawl import semantics as S
 from feapder_spark.crawl.synthweb import SyntheticWeb
-from feapder_spark.urlnorm import canonicalize_url, get_md5, host_of
+from feapder_spark.urlnorm import canonicalize_url, get_md5, host_of, request_fingerprint
 
 
 @dataclass
@@ -46,7 +46,14 @@ def run_oracle(
     max_iterations: int | None = None,
     politeness: dict[str, int] | None = None,
     token_bucket: dict | None = None,
+    parsers: dict | None = None,
+    default_parser: str = "TestParser",
 ) -> OracleResult:
+    """``parsers``: multi-parser dispatch mirror (parser_control.py:85-86) —
+    {parser_name: parse_fn}; rows route by their parser_name, links emitted
+    as (url, parser_name) pairs route explicitly, bare links inherit the
+    emitting row's parser.  Seeds may carry method/data (TaskSpider params);
+    body args fold into the fingerprint (request.py:465-480)."""
     res = OracleResult()
     # frontier: fingerprint -> row dict
     frontier: dict[str, dict] = {}
@@ -55,9 +62,18 @@ def run_oracle(
     # absent from an iteration's due set drops out and restarts at burst
     bucket_state: dict[str, tuple[float, int]] = {}
 
-    def enqueue(url: str, priority: int, *, claim: bool = True, retry_times: int = 0) -> None:
+    def enqueue(
+        url: str,
+        priority: int,
+        *,
+        claim: bool = True,
+        retry_times: int = 0,
+        parser_name: str | None = None,
+        method: str | None = None,
+        data: dict | None = None,
+    ) -> None:
         canon = canonicalize_url(url)
-        fp = get_md5(canon)
+        fp = request_fingerprint(url, data=data) if data else get_md5(canon)
         if claim:
             if fp in res.seen:
                 return  # claim-on-enqueue dedup (request_buffer.py:42-50)
@@ -70,10 +86,19 @@ def run_oracle(
             "priority": priority,
             "retry_times": retry_times,
             "status": S.STATUS_TODO,
+            "parser_name": parser_name or default_parser,
+            "method": method,
+            "data": data,
         }
 
     for seed in seeds:
-        enqueue(seed["url"], seed.get("priority", S.DEFAULT_PRIORITY))
+        enqueue(
+            seed["url"],
+            seed.get("priority", S.DEFAULT_PRIORITY),
+            parser_name=seed.get("parser_name"),
+            method=seed.get("method"),
+            data=seed.get("data"),
+        )
 
     while True:
         if max_iterations is not None and res.iterations >= max_iterations:
@@ -139,10 +164,17 @@ def run_oracle(
              "links_new": 0, "links_dup": 0, "retried": 0, "failed": 0}
         for r in batch:
             res.crawl_order.append(r["fingerprint"])
-            status, raw = web.resolve(r["url"], attempt=r["retry_times"])
+            if r["method"] is not None or r["data"] is not None:
+                status, raw = web.resolve(
+                    r["url"], attempt=r["retry_times"],
+                    method=r["method"] or "GET", data=r["data"],
+                )
+            else:
+                status, raw = web.resolve(r["url"], attempt=r["retry_times"])
             if status == 200:
                 m["fetched_ok"] += 1
-                spans, links, title = H.parse_document(r["url_canon"], raw)
+                parse_fn = (parsers or {}).get(r["parser_name"]) or H.parse_document
+                spans, links, title = parse_fn(r["url_canon"], raw)
                 doc_id = r["fingerprint"]
                 res.docs[doc_id] = spans
                 item = {"doc_id": doc_id, "url": r["url_canon"], "title": title, "n_spans": len(spans)}
@@ -150,8 +182,11 @@ def run_oracle(
                 if ifp not in res.items:  # item dedup (item_buffer.py:180-217)
                     res.items[ifp] = item
                 for link in links:
+                    link_parser = r["parser_name"]
+                    if isinstance(link, (tuple, list)):
+                        link, link_parser = link[0], link[1]
                     before = len(res.seen)
-                    enqueue(link, S.DEFAULT_PRIORITY)
+                    enqueue(link, S.DEFAULT_PRIORITY, parser_name=link_parser)
                     if len(res.seen) > before:
                         m["links_new"] += 1
                     else:

@@ -187,6 +187,20 @@ class SyntheticWeb:
 
 
 @dataclass
+class FormWeb(SyntheticWeb):
+    """Payload-aware resolver: page content varies with the request's POST
+    params (TaskSpider-style per-task fetches, network/request.py:45-81).
+    Deterministic: params are reflected into the page body sorted by key."""
+
+    def resolve(self, url: str, attempt: int = 0, method: str = "GET", data: dict | None = None):
+        status, html = super().resolve(url, attempt)
+        if status == 200 and data:
+            reflected = "".join(f"<p>param {k}={v}</p>" for k, v in sorted(data.items()))
+            html = html.replace("</body>", reflected + "</body>")
+        return status, html
+
+
+@dataclass
 class MarkingWeb(SyntheticWeb):
     """Test instrument: records every resolve() call as a marker file in
     ``marker_dir`` (executors share the local FS in local mode) — used to

@@ -7,7 +7,7 @@ the package so tests and docs share them.
 
 from __future__ import annotations
 
-from feapder_spark.api import Spider
+from feapder_spark.api import BaseParser, Spider
 
 
 class DemoSpider(Spider):
@@ -15,6 +15,58 @@ class DemoSpider(Spider):
 
     start_urls = ["http://host-0.test/page-0", "http://host-1.test/page-0"]
     batch_size = 16
+
+
+# -- multi-parser templates (parser_control.py:85-86 routing) ---------------
+
+def list_parse(url_canon, html):
+    """List template: routes every discovered link to the detail template
+    via explicit (url, parser_name) callback pairs."""
+    from feapder_spark.crawl import html as H
+
+    spans, links, title = H.parse_document(url_canon, html)
+    return spans, [(ln, "DetailParser") for ln in links], "LIST:" + title
+
+
+def detail_parse(url_canon, html):
+    """Detail template: leaf pages — no further links."""
+    from feapder_spark.crawl import html as H
+
+    spans, _links, title = H.parse_document(url_canon, html)
+    return spans, [], "DETAIL:" + title
+
+
+class ListDemoSpider(Spider):
+    """Two-template crawl: the spider is the list parser, registered
+    DetailParser handles the routed detail links (spider-integration
+    main.py:19-24 shape)."""
+
+    start_urls = ["http://host-0.test/page-0", "http://host-1.test/page-0"]
+    batch_size = 16
+
+    def parse(self, url_canon, html):
+        return list_parse(url_canon, html)
+
+
+class DetailParser(BaseParser):
+    def parse(self, url_canon, html):
+        return detail_parse(url_canon, html)
+
+
+def rewrite_badhost_exception_request(req):
+    """exception_request hook example (base_parser.py:71-83): requests that
+    failed on the always-failing host are rewritten to a good mirror URL and
+    re-enter the retry path with a boosted priority."""
+    if "host-bad.test" in req["url"]:
+        page = req["url"].rsplit("-", 1)[-1]
+        return {"url": f"http://host-0.test/page-{page}", "priority": 100}
+    return None
+
+
+def tag_failed_request(req):
+    """failed_request hook example (base_parser.py:85-95): annotate the
+    parked row (demote priority so a reload crawls them last)."""
+    return {"priority": 999}
 
 
 def none_title_parse(url_canon, html):

@@ -96,7 +96,7 @@ def test_reload_failed_preserves_priority_and_parser(spark, tmp_path):
     assert parked[0].parser_name == "DetailParser"
 
     assert engine.reload_failed() == 1
-    revived = engine.t("frontier").read().filter(F.col("status") == "todo").collect()
+    revived = engine.frontier().filter(F.col("status") == "todo").collect()
     assert len(revived) == 1
     assert revived[0].priority == 100
     assert revived[0].parser_name == "DetailParser"

@@ -17,11 +17,11 @@ def test_reload_failed_reenqueues(spark, tmp_path):
     )
     engine.run()
     assert engine.t("failed").read().count() == 2
-    assert engine.t("frontier").read().filter(F.col("status") == "todo").count() == 0
+    assert engine.frontier().filter(F.col("status") == "todo").count() == 0
 
     assert engine.reload_failed() == 2
     assert engine.t("failed").read().count() == 0
-    revived = engine.t("frontier").read().filter(F.col("status") == "todo")
+    revived = engine.frontier().filter(F.col("status") == "todo")
     assert revived.count() == 2
     assert revived.agg(F.max("retry_times")).first()[0] == 0
 
