@@ -42,6 +42,7 @@ HEADLINE = [
     "simhash",
     "embedding_cosine_topk",
     "ann_ivf_topk",
+    "ann_verified_neardups",
     "sessionize",
     "crawl_rate_window",
     "pricing_rollup",

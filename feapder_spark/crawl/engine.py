@@ -49,7 +49,11 @@ from feapder_spark.crawl import frontier as FR
 from feapder_spark.crawl import robots as RB
 from feapder_spark.crawl.politeness import BUCKETS_DDL, TokenBuckets
 from feapder_spark.crawl import semantics as S
-from feapder_spark.crawl.fetcher import fetch_parse_batch, route_failures_hooked
+from feapder_spark.crawl.fetcher import (
+    fetch_parse_batch,
+    route_failures_hooked,
+    with_user_agent,
+)
 from feapder_spark.crawl.parser import (
     FUSED_LINKS_DDL,
     canonicalize_udf,
@@ -58,10 +62,15 @@ from feapder_spark.crawl.parser import (
 )
 from feapder_spark.crawl.items import item_fp_col as _items_fp_col
 from feapder_spark.urlnorm import request_fingerprint
-from feapder_spark.operators.seen_set import BloomSeenSet, dedup_new, mark_in_batch_first
+from feapder_spark.operators.seen_set import (
+    BloomSeenSet,
+    dedup_new,
+    mark_in_batch_first,
+    prune_expired,
+)
 from feapder_spark.store import SnapshotStore
 
-SEEN_DDL = "fingerprint STRING, added_iteration INT"
+SEEN_DDL = "fingerprint STRING, added_iteration INT, added_at TIMESTAMP"
 DOCS_DDL = (
     "doc_id STRING, url STRING, "
     "spans ARRAY<STRUCT<kind: STRING, text: STRING, media_ref: STRING, offset: INT>>"
@@ -113,6 +122,16 @@ class CrawlConfig:
     # frontier tombstone compaction: fold the delta log back into the adds
     # table when tombstones exceed max(this floor, visible frontier size)
     compact_min_tombstones: int = 100_000
+    # ExpireFilter semantics (dedup/expirefilter.py:17-81): a claimed
+    # fingerprint stops deduping after the TTL, so the URL re-crawls.
+    # seen_ttl_iterations is the deterministic loop unit (mirrored by the
+    # oracle); seen_ttl_seconds applies wall-clock prune_expired on read.
+    # Exact seen set only — Bloom bits can't expire (the reference pairs
+    # BloomFilter xor ExpireFilter the same way, dedup/__init__.py).
+    seen_ttl_iterations: int | None = None
+    seen_ttl_seconds: int | None = None
+    # P13: deterministic user-agent rotation column on the fetch batch
+    user_agent_rotation: bool = False
     # URL-seen set implementation: "exact" (fingerprint table, anti-join) or
     # "bloom" (bucketed scalable-Bloom blobs — the 10^10-frontier scale path;
     # only touched buckets move per iteration, memory ~3 bytes/URL at P=1e-5)
@@ -278,7 +297,7 @@ class CrawlEngine:
         n_seeded = new_rows.count()
         self.frontier_size = n_seeded
         self.t("frontier").commit(self._sized(new_rows, n_seeded), mode="append")
-        seen_commit(n_seeded, -1)
+        seen_commit(n_seeded, self.iteration)
         if self._bloom is not None:
             self._bloom.release()
         self.store.checkpoint(self._label(), TABLES)
@@ -350,8 +369,18 @@ class CrawlEngine:
         the bucketed blobs (only touched buckets rewrite).
         """
         if self._bloom is None:
+            seen_df = self.t("seen").read()
+            if self.cfg.seen_ttl_iterations is not None:
+                # ExpireFilter-on-read: expired claims no longer dedup, so
+                # the URL re-crawls; rows stay (newest added_iteration wins
+                # through the filter) — expirefilter.py:71-75 as a predicate
+                seen_df = seen_df.filter(
+                    F.col("added_iteration") > self.iteration - self.cfg.seen_ttl_iterations
+                )
+            if self.cfg.seen_ttl_seconds is not None:
+                seen_df = prune_expired(seen_df, self.cfg.seen_ttl_seconds)
             new_rows = (
-                dedup_new(cands, self.t("seen").read(), order_cols=("priority", "url"))
+                dedup_new(cands, seen_df, order_cols=("priority", "url"))
                 .withColumn("status", F.lit(S.STATUS_TODO))
                 .select(*self._frontier_cols())
                 .persist()
@@ -361,9 +390,9 @@ class CrawlEngine:
                 if n_new > 0:
                     self.t("seen").commit(
                         self._sized(
-                            new_rows.select("fingerprint").withColumn(
-                                "added_iteration", F.lit(iteration)
-                            ),
+                            new_rows.select("fingerprint")
+                            .withColumn("added_iteration", F.lit(iteration))
+                            .withColumn("added_at", F.current_timestamp()),
                             n_new,
                         ),
                         mode="append",
@@ -447,6 +476,10 @@ class CrawlEngine:
         # host-grouped partitioning only matters when per-host rate limits
         # exist; otherwise round-robin balances perfectly (no host-hash skew)
         fetch_input = batch
+        if cfg.user_agent_rotation:
+            # P13: deterministic UA column (hash-rotated, JVM-side) rides the
+            # batch into the fetch stage for a real HTTP pool to consume
+            fetch_input = with_user_agent(fetch_input)
         if cfg.use_fetch_cache:
             cache = self.t("fetch_cache").read().select(
                 "fingerprint",

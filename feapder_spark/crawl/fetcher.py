@@ -25,6 +25,26 @@ from feapder_spark.crawl.semantics import CODE_ABANDONED, CODE_VALIDATE_RETRY
 
 FETCH_EXTRA_DDL = "status_code INT, content STRING, fetch_partition INT"
 
+# Deterministic user-agent rotation (P13): the reference picks a random UA
+# per request from a bundled pool (network/user_agent.py + request.py
+# random_user_agent); distributed determinism demands a pure column instead —
+# same request, same UA, across retries, executors and reruns.
+UA_POOL = (
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 Chrome/120.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 13_5) AppleWebKit/605.1.15 Version/16.5 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 Chrome/119.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 Mobile/15E148 Safari/604.1",
+)
+
+
+def with_user_agent(df: DataFrame, pool: tuple[str, ...] = UA_POOL) -> DataFrame:
+    """Append a deterministic ``user_agent`` column: the pool entry selected
+    by hash(fingerprint) — JVM-side, no Python, stable across retries."""
+    arr = F.array(*[F.lit(u) for u in pool])
+    idx = F.pmod(F.xxhash64("fingerprint"), F.lit(len(pool))).cast("int") + F.lit(1)
+    return df.withColumn("user_agent", F.element_at(arr, idx))
+
 
 def fetch_batch(batch: DataFrame, resolver, by_host: bool = True) -> DataFrame:
     """Resolve each leased request; appends status_code/content/fetch_partition.

@@ -154,3 +154,67 @@ def parse_document(base_url: str, raw_html: str) -> tuple[list[dict], list[str],
     m = re.search(r"<title[^>]*>(.*?)</title>", html, re.S | re.I)
     title = m.group(1).strip() if m else ""
     return spans, links, title
+
+
+# ---------------------------------------------------------------------------
+# Encoding detection (P7) — response.py:126-166 priority chain:
+# explicit > header charset > body-declared <meta>/<?xml?> > guess > utf-8.
+# The header/meta parsing reimplements the public w3lib behaviours
+# (http_content_type_encoding / html_body_declared_encoding) from scratch;
+# the content guess uses chardet only when the library exists (import-gated —
+# not bundled in this image).
+# ---------------------------------------------------------------------------
+
+_HEADER_CHARSET = re.compile(r"charset\s*=\s*[\"']?([\w.\-]+)", re.I)
+_META_CHARSET = re.compile(rb'<meta[^>]+charset\s*=\s*["\']?([\w.\-]+)', re.I)
+_XML_ENCODING = re.compile(rb'<\?xml[^>]+encoding\s*=\s*["\']([\w.\-]+)', re.I)
+
+
+def _valid_codec(name: str | None) -> str | None:
+    if not name:
+        return None
+    import codecs
+
+    try:
+        return codecs.lookup(name).name
+    except LookupError:
+        return None
+
+
+def detect_encoding(content: bytes, headers: dict | None = None, declared: str | None = None) -> str:
+    """Resolve the decode charset for a fetched body (response.py:126-166).
+
+    Priority: ``declared`` (user/override) > Content-Type header charset >
+    body-declared ``<meta charset>`` / ``<?xml encoding>`` (first 4 KiB) >
+    chardet guess when available > utf-8.
+    """
+    enc = _valid_codec(declared)
+    if enc:
+        return enc
+    if headers:
+        ctype = headers.get("Content-Type") or headers.get("content-type") or ""
+        m = _HEADER_CHARSET.search(ctype)
+        enc = _valid_codec(m.group(1) if m else None)
+        if enc:
+            return enc
+    head = content[:4096]
+    m = _META_CHARSET.search(head) or _XML_ENCODING.search(head)
+    enc = _valid_codec(m.group(1).decode("ascii", "ignore") if m else None)
+    if enc:
+        return enc
+    try:  # chardet is optional in this image
+        import chardet
+
+        guess = chardet.detect(content[:8192]).get("encoding")
+        enc = _valid_codec(guess)
+        if enc:
+            return enc
+    except ImportError:
+        pass
+    return "utf-8"
+
+
+def decode_content(content: bytes, headers: dict | None = None, declared: str | None = None) -> str:
+    """bytes → str via :func:`detect_encoding`, errors replaced (the
+    reference decodes with ``errors='replace'``, response.py:167-178)."""
+    return content.decode(detect_encoding(content, headers, declared), errors="replace")

@@ -48,6 +48,7 @@ def run_oracle(
     token_bucket: dict | None = None,
     parsers: dict | None = None,
     default_parser: str = "TestParser",
+    seen_ttl_iterations: int | None = None,
 ) -> OracleResult:
     """``parsers``: multi-parser dispatch mirror (parser_control.py:85-86) —
     {parser_name: parse_fn}; rows route by their parser_name, links emitted
@@ -57,6 +58,8 @@ def run_oracle(
     res = OracleResult()
     # frontier: fingerprint -> row dict
     frontier: dict[str, dict] = {}
+    # claim log for ExpireFilter semantics: fp -> latest claim iteration
+    seen_at: dict[str, int] = {}
     # token-bucket state mirroring crawl/politeness.py exactly: hosts carry
     # (tokens, updated_iteration) only while they have due rows; a host
     # absent from an iteration's due set drops out and restarts at burst
@@ -71,13 +74,21 @@ def run_oracle(
         parser_name: str | None = None,
         method: str | None = None,
         data: dict | None = None,
-    ) -> None:
+    ) -> bool:
+        """Returns True when the request was (re)claimed as new."""
         canon = canonicalize_url(url)
         fp = request_fingerprint(url, data=data) if data else get_md5(canon)
+        claimed = False
         if claim:
-            if fp in res.seen:
-                return  # claim-on-enqueue dedup (request_buffer.py:42-50)
+            prev = seen_at.get(fp)
+            alive = prev is not None and (
+                seen_ttl_iterations is None or prev > res.iterations - seen_ttl_iterations
+            )
+            if alive:
+                return False  # claim-on-enqueue dedup (request_buffer.py:42-50)
+            seen_at[fp] = res.iterations  # (re)claim; expired claims renew
             res.seen.add(fp)
+            claimed = True
         frontier[fp] = {
             "fingerprint": fp,
             "url": url,
@@ -90,6 +101,7 @@ def run_oracle(
             "method": method,
             "data": data,
         }
+        return claimed
 
     for seed in seeds:
         enqueue(
@@ -185,9 +197,7 @@ def run_oracle(
                     link_parser = r["parser_name"]
                     if isinstance(link, (tuple, list)):
                         link, link_parser = link[0], link[1]
-                    before = len(res.seen)
-                    enqueue(link, S.DEFAULT_PRIORITY, parser_name=link_parser)
-                    if len(res.seen) > before:
+                    if enqueue(link, S.DEFAULT_PRIORITY, parser_name=link_parser):
                         m["links_new"] += 1
                     else:
                         m["links_dup"] += 1

@@ -41,6 +41,11 @@ BATCH_RECORD_DDL = (
 TODO, CLAIMED, DONE, FAILED = 0, 2, 1, -1
 
 
+def roll_done(progress: dict) -> bool:
+    """Self-progress completion (ignoring the related-spider gate)."""
+    return bool(progress) and progress.get("total", 0) > 0 and progress.get("done") == progress.get("total")
+
+
 class TaskManager:
     def __init__(self, spark: SparkSession, store: SnapshotStore, table: str = "tasks"):
         self.spark = spark
@@ -127,6 +132,10 @@ class BatchManager:
         self.table = store.table(table)
         if not self.table.exists():
             self.table.create_empty(BATCH_RECORD_DDL)
+        # get_deal_speed observation state (batch_spider.py:565-567)
+        self._last_done_count: int | None = None
+        self._last_done_time: datetime | None = None
+        self._deal_speed_cached: tuple | None = None
 
     def latest(self):
         rows = self.table.read().orderBy(F.desc("id")).limit(1).collect()
@@ -144,14 +153,16 @@ class BatchManager:
         )
         self.table.commit(self.spark.createDataFrame([row], BATCH_RECORD_DDL), mode="append")
 
-    def update_progress(self, now: datetime) -> dict:
+    def update_progress(self, now: datetime, related_done: bool = True) -> dict:
         """Roll task counts into the latest batch row (A2,
-        batch_spider.py:439-468); marks is_done when done==total."""
+        batch_spider.py:439-468); marks is_done when done==total — unless a
+        related spider is still running (update_is_done is gated on the
+        related check, batch_spider.py:782-800)."""
         latest = self.latest()
         if latest is None:
             return {}
         roll = self.tasks.rollup()
-        is_done = 1 if roll["total"] > 0 and roll["done"] == roll["total"] else 0
+        is_done = 1 if roll["total"] > 0 and roll["done"] == roll["total"] and related_done else 0
         src = self.spark.createDataFrame(
             [(latest.id, roll["total"], roll["done"], roll["failed"], now, is_done)],
             "id INT, total_count LONG, done_count LONG, fail_count LONG, update_time TIMESTAMP, is_done INT",
@@ -165,10 +176,72 @@ class BatchManager:
         )
         return {**roll, "is_done": is_done}
 
-    def check_batch(self, now: datetime) -> str:
+    def get_deal_speed(self, total_count: int, done_count: int, last_batch_date: datetime,
+                       now: datetime) -> tuple | None:
+        """Crawl-speed/ETA estimate (batch_spider.py:551-593, verbatim
+        semantics): on each observation where done_count advanced, speed =
+        Δdone/Δt; returns the cached
+        ``(deal_speed rows/hour, need_time sec, overflow_time sec, at)``
+        until the next advance — ``overflow_time`` > 0 means the batch will
+        miss its deadline by that many seconds (< 0: early by that much).
+        ``now`` is an explicit datetime so the math is deterministic."""
+        if self._last_done_count is None:
+            self._last_done_count = done_count
+            self._last_done_time = now
+        elif done_count > self._last_done_count:
+            dt = (now - self._last_done_time).total_seconds()
+            speed = (done_count - self._last_done_count) / dt  # rows/sec
+            need_time = (total_count - done_count) / speed  # sec
+            overflow_time = (
+                (now - last_batch_date).total_seconds()
+                + need_time
+                - self.interval.total_seconds()
+            )
+            self._last_done_count = done_count
+            self._last_done_time = now
+            self._deal_speed_cached = (
+                int(speed * 3600), need_time, overflow_time, now.strftime("%Y-%m-%d %H:%M:%S"),
+            )
+        return self._deal_speed_cached
+
+    def speed_alarm(self, now: datetime) -> str | None:
+        """Overflow alerting (batch_spider.py:723-837): alarm when the ETA
+        from the latest batch row's progress passes the batch deadline."""
+        latest = self.latest()
+        if latest is None:
+            return None
+        sp = self.get_deal_speed(latest.total_count, latest.done_count, latest.batch_date, now)
+        if sp is None:
+            return None
+        deal_speed, need_time, overflow_time, at = sp
+        if overflow_time > 0:
+            return (
+                f"batch overflow: ETA exceeds the deadline by {int(overflow_time)}s "
+                f"(speed {deal_speed}/h, need {int(need_time)}s, observed {at})"
+            )
+        return None
+
+    def related_is_done(self, related_frontier: DataFrame | None = None,
+                        related_batch: "BatchManager | None" = None) -> bool:
+        """Related-spider gate (batch_spider.py:848-872 / task_spider.py:
+        444-470): this batch cannot end while a dependency spider still has
+        frontier rows, or while its latest batch row is not is_done.  A
+        related batch table with no rows counts as done (the reference warns
+        and returns True)."""
+        if related_frontier is not None and related_frontier.limit(1).count() > 0:
+            return False
+        if related_batch is not None:
+            latest = related_batch.latest()
+            if latest is not None and not latest.is_done:
+                return False
+        return True
+
+    def check_batch(self, now: datetime, related_frontier: DataFrame | None = None,
+                    related_batch: "BatchManager | None" = None) -> str:
         """Batch lifecycle decision (batch_spider.py:610-846): start the
         first batch, start a new batch when the interval elapsed (resetting
-        non-failed tasks), else update progress.  Returns the action taken.
+        non-failed tasks), else update progress.  A finished batch waits for
+        its related spiders before flipping is_done.  Returns the action.
         """
         latest = self.latest()
         if latest is None:
@@ -178,5 +251,10 @@ class BatchManager:
             self.tasks.init_task()
             self.record_batch(now)
             return "started_new_batch"
-        progress = self.update_progress(now)
-        return "batch_done" if progress.get("is_done") else "in_progress"
+        related_done = self.related_is_done(related_frontier, related_batch)
+        progress = self.update_progress(now, related_done=related_done)
+        if progress.get("is_done"):
+            return "batch_done"
+        if roll_done(progress) and not related_done:
+            return "waiting_related"
+        return "in_progress"

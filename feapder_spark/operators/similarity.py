@@ -75,6 +75,35 @@ def lsh_buckets(embeddings: DataFrame, n_bits: int = 8) -> DataFrame:
     )
 
 
+def bucketed_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.45, n_bits: int = 8
+) -> DataFrame:
+    """Composed embedding near-dup at scale: sign-LSH bucket candidates →
+    cosine verify on candidates only (the embedding analog of the
+    MinHash LSH→Jaccard-verify pipeline).
+
+    The self-join is on bucket equality — a hash join whose output is
+    Σ_b n_b², not N² (with b buckets of a balanced LSH that is N²/2^bits
+    candidate pairs), and the cosine is computed only for candidates.  This
+    is the 100 TB shape; the brute-force all-pairs query
+    (queries.embedding_neardup_pairs) is the recall/verification baseline —
+    same-bucket near-dups are a subset of all near-dups (LSH recall<1 by
+    construction; raise n_bits tables/bands for higher recall).
+    """
+    e = embeddings.select("vec_id", "embedding").withColumn(
+        "bucket", bucket_expr(n_bits=n_bits)
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
+    pairs = a.join(b, on="bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", "bucket", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 5, n_bits: int = 8) -> DataFrame:
     """Bucketed ANN: search only the query's own sign-LSH bucket."""
     with_b = embeddings.withColumn("bucket", bucket_expr(n_bits=n_bits))

@@ -486,8 +486,10 @@ def embedding_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
-def _bucket_sql(col: str = "embedding") -> str:
-    return " + ".join(f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8))
+def _bucket_sql(col: str = "embedding", n_bits: int = 8) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
+    )
 
 
 ANN_BUCKETS_SQL = f"""
@@ -719,9 +721,10 @@ EMB_NEARDUP_SQL = """
 
 @register("embedding_neardup_pairs", EMB_NEARDUP_SQL)
 def embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (brute-force verification stage;
-    the LSH buckets of ann_lsh_buckets are the candidate-generation scale
-    path).  Self-join + JVM higher-order-function dot products."""
+    """Embedding-cosine near-duplicate pairs — the brute-force O(N²)
+    RECALL/VERIFICATION BASELINE only (run at sample scale to measure the
+    LSH pipeline's recall).  The production path is ann_verified_neardups:
+    sign-LSH bucket candidates → cosine verify on candidates only."""
     from feapder_spark.operators.similarity import _dot, _norm
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -734,6 +737,55 @@ def embedding_neardup_pairs(spark, sf_dir):
         .filter(F.col("cos_raw") >= 0.45)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
     )
+
+
+ANN_VERIFIED_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             CAST({_bucket_sql(n_bits=4)} AS INTEGER) AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.45
+    """
+
+
+@register("ann_verified_neardups", ANN_VERIFIED_SQL)
+def ann_verified_neardups(spark, sf_dir):
+    """Composed embedding near-dup AT SCALE: sign-LSH bucket candidate
+    generation (hash join on bucket, never an all-pairs cartesian) → exact
+    cosine verification on the candidates only — the embedding analog of
+    minhash_verified_dups.  Candidate volume is Σ_b n_b² ≈ N²/2^bits; 4 bits
+    here trades candidate volume for recall (the n_bits knob IS the LSH
+    recall/cost dial; production would band multiple tables like MinHash)."""
+    return SIM.bucketed_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45, n_bits=4)
+
+
+@register(
+    "fingerprint_body_args",
+    """
+    SELECT md5('http://host-' || CAST(o_custkey % 50 AS VARCHAR) || '.test/order'
+               || '{''id'': ''' || CAST(o_orderkey AS VARCHAR) || '''}') AS fingerprint,
+           CAST(o_orderkey AS BIGINT) AS order_id
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def fingerprint_body_args(spark, sf_dir):
+    """Request fingerprint WITH body args (request.py:465-480): md5 over the
+    canonical url + str(payload dict) — pure JVM string ops, matching
+    urlnorm.request_fingerprint(url, data={'id': <key>}) bit-for-bit (the
+    str({'id': 'v'}) literal form is reproduced verbatim)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    url = F.concat(
+        F.lit("http://host-"), (F.col("o_custkey") % 50).cast("string"), F.lit(".test/order")
+    )
+    fp = F.md5(
+        F.concat(url, F.lit("{'id': '"), F.col("o_orderkey").cast("string"), F.lit("'}"))
+    )
+    return o.select(fp.alias("fingerprint"), F.col("o_orderkey").cast("long").alias("order_id"))
 
 
 @register(

@@ -29,9 +29,9 @@ def test_fetch_cache_skips_resolver_on_rerun(spark, tmp_path):
         e1.t("frontier").read(version=0).sparkSession.createDataFrame([], e1.t("frontier").read().schema),
         mode="overwrite",
     )
-    e1.t("seen").commit(
-        spark.createDataFrame([], "fingerprint STRING, added_iteration INT"), mode="overwrite"
-    )
+    from feapder_spark.crawl.engine import SEEN_DDL
+
+    e1.t("seen").commit(spark.createDataFrame([], SEEN_DDL), mode="overwrite")
     e2 = CrawlEngine(spark, wh, web, cfg)
     assert e2.seed(web.seeds(3)) is True
     e2.run()

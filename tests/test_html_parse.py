@@ -46,3 +46,30 @@ def test_parse_document_pipeline_order():
     assert links == ["http://h.test/next"]  # absolutized before extraction
     media = [s for s in spans if s["kind"] == "media"]
     assert media[0]["media_ref"] == "http://h.test/base/pic.webp"
+
+
+def test_detect_encoding_priority_chain():
+    """P7 (response.py:126-166): header charset > meta charset > utf-8."""
+    from feapder_spark.crawl.html import decode_content, detect_encoding
+
+    body_plain = "<html><body>café</body></html>".encode("utf-8")
+    # 1. explicit override wins
+    assert detect_encoding(body_plain, declared="latin-1") == "iso8859-1"
+    # 2. header charset next
+    assert (
+        detect_encoding(body_plain, headers={"Content-Type": "text/html; charset=GBK"})
+        == "gbk"
+    )
+    # 3. body-declared meta charset
+    meta_doc = b'<html><head><meta charset="iso-8859-1"></head><body>caf\xe9</body></html>'
+    assert detect_encoding(meta_doc) == "iso8859-1"
+    assert "café" in decode_content(meta_doc)
+    # http-equiv form and xml declaration
+    equiv = b'<meta http-equiv="Content-Type" content="text/html; charset=utf-16le">'
+    assert detect_encoding(equiv) == "utf-16-le"
+    xml = b'<?xml version="1.0" encoding="ISO-8859-1"?><root/>'
+    assert detect_encoding(xml) == "iso8859-1"
+    # 4. fallback
+    assert detect_encoding(b"no declarations here") == "utf-8"
+    # invalid names fall through the chain
+    assert detect_encoding(b'<meta charset="not-a-codec">junk') == "utf-8"
