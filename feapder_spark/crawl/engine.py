@@ -42,7 +42,7 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from feapder_spark.crawl import frontier as FR
@@ -170,6 +170,11 @@ class CrawlConfig:
     # terminal failure and may return a replacement dict for the failed park.
     exception_request: object = None
     failed_request: object = None
+    # pre-fetch request transform (download_midware, base_parser.py:32-41):
+    # fn(req_dict) -> dict overriding url/method/data for the outgoing fetch;
+    # request identity (fingerprint/url_canon) is unchanged, as in the
+    # reference (the original request is what retries and parks)
+    download_midware: object = None
     # explicit hot-domain salting: split one host over up to N executors
     host_salt_splits: int = 1
 
@@ -195,6 +200,7 @@ class CrawlEngine:
         self.next_seq = 0
         self.frontier_size = 0  # maintained from known per-iteration deltas
         self.tombstone_rows = 0  # delta-log size; compaction resets it
+        self._obs_fallbacks = 0  # diagnostics: links_new Observation misses
         self._budgets = (
             FR.budgets_df(spark, self.cfg.politeness) if self.cfg.politeness else None
         )
@@ -293,7 +299,7 @@ class CrawlEngine:
         )
         if self.cfg.respect_robots:
             cands = self._apply_robots(cands)
-        new_rows, seen_commit = self._claim_new(cands)
+        new_rows, seen_commit, _obs = self._claim_new(cands)
         n_seeded = new_rows.count()
         self.frontier_size = n_seeded
         self.t("frontier").commit(self._sized(new_rows, n_seeded), mode="append")
@@ -324,6 +330,50 @@ class CrawlEngine:
     def frontier(self) -> DataFrame:
         """Public accessor for the visible frontier."""
         return self._read_frontier()
+
+    def add_requests(self, seeds: list[dict]) -> int:
+        """Mid-crawl request injection (S6 — the reference Spider's standing
+        seed-table pull / TaskSpider distribute_task, spider.py start-request
+        loop): claim-on-enqueue dedup against the live seen set, append the
+        survivors to the frontier, checkpoint.  Returns requests added."""
+        self._init_tables()
+        rows = []
+        for s in seeds:
+            data = s.get("data")
+            fp_pre = request_fingerprint(s["url"], data=data) if data else None
+            rows.append(
+                (
+                    s["url"], int(s.get("priority", S.DEFAULT_PRIORITY)),
+                    s.get("parser_name", self.cfg.default_parser),
+                    s.get("method"), data, fp_pre,
+                )
+            )
+        df = self.spark.createDataFrame(
+            rows,
+            "url STRING, priority INT, parser_name STRING, method STRING, "
+            "payload MAP<STRING, STRING>, fp_pre STRING",
+        )
+        cands = (
+            df.withColumn("url_canon", canonicalize_udf("url"))
+            .withColumn("fingerprint", F.coalesce(F.col("fp_pre"), F.md5("url_canon")))
+            .drop("fp_pre")
+            .withColumn("host", F.lower(F.coalesce(F.parse_url("url_canon", F.lit("HOST")), F.lit(""))))
+            .withColumn("retry_times", F.lit(0))
+            .withColumn("added_iteration", F.lit(self.iteration))
+        )
+        if self.cfg.respect_robots:
+            cands = self._apply_robots(cands)
+        new_rows, seen_commit, _obs = self._claim_new(cands)
+        n_new = new_rows.count()
+        if n_new:
+            self.t("frontier").commit(self._sized(new_rows, n_new), mode="append")
+        seen_commit(n_new, self.iteration)  # no-op write at 0; releases caches
+        if self._bloom is not None:
+            self._bloom.release()
+        self.frontier_size += n_new
+        self.store.checkpoint(self._label(added_requests=n_new), TABLES)
+        new_rows.unpersist()
+        return n_new
 
     def _read_frontier(self) -> DataFrame:
         """Visible frontier = adds ⟕anti tombstones on the row-version key.
@@ -363,11 +413,15 @@ class CrawlEngine:
     def _claim_new(self, cands):
         """Claim-on-enqueue dedup, exact or Bloom path.
 
-        Returns (new_rows_df_persisted, seen_commit_fn) — the commit fn is
-        run with the iteration's other table commits.  Exact path: anti-join
+        Returns (new_rows_df_persisted, seen_commit_fn, observation) — the
+        commit fn is run with the iteration's other table commits; the
+        Observation carries count(new_rows) as a free by-product of whichever
+        commit job materializes the frame FIRST (no dedicated count() job —
+        one less fixed-cost Spark job per iteration).  Exact path: anti-join
         vs the fingerprint table (J1).  Bloom path: cogrouped check+add over
-        the bucketed blobs (only touched buckets rewrite).
+        the bucketed blobs (only touched buckets move).
         """
+        obs = Observation()
         if self._bloom is None:
             seen_df = self.t("seen").read()
             if self.cfg.seen_ttl_iterations is not None:
@@ -383,22 +437,26 @@ class CrawlEngine:
                 dedup_new(cands, seen_df, order_cols=("priority", "url"))
                 .withColumn("status", F.lit(S.STATUS_TODO))
                 .select(*self._frontier_cols())
+                .observe(obs, F.count(F.lit(1)).alias("n_new"))
                 .persist()
             )
 
-            def commit_fn(n_new, iteration):
-                if n_new > 0:
-                    self.t("seen").commit(
-                        self._sized(
-                            new_rows.select("fingerprint")
-                            .withColumn("added_iteration", F.lit(iteration))
-                            .withColumn("added_at", F.current_timestamp()),
-                            n_new,
-                        ),
-                        mode="append",
-                    )
+            def commit_fn(n_bound, iteration):
+                # n_bound is an upper bound (candidate link count) used only
+                # to size write parallelism; the exact count arrives via obs
+                if n_bound == 0:
+                    return
+                self.t("seen").commit(
+                    self._sized(
+                        new_rows.select("fingerprint")
+                        .withColumn("added_iteration", F.lit(iteration))
+                        .withColumn("added_at", F.current_timestamp()),
+                        n_bound,
+                    ),
+                    mode="append",
+                )
 
-            return new_rows, commit_fn
+            return new_rows, commit_fn, obs
 
         firsts = (
             mark_in_batch_first(cands, order_cols=("priority", "url"))
@@ -421,16 +479,18 @@ class CrawlEngine:
             firsts.join(results.filter(F.col("is_new") == 1).select("fingerprint"), on="fingerprint")
             .withColumn("status", F.lit(S.STATUS_TODO))
             .select(*self._frontier_cols())
+            .observe(obs, F.count(F.lit(1)).alias("n_new"))
             .persist()
         )
 
-        def commit_fn(n_new, iteration):
+        def commit_fn(n_bound, iteration):
             # dynamic partition overwrite: only touched buckets move
             # (membership bits advanced even for dup-only buckets)
-            self.t("seen_set").commit_partitions(touched, "bucket")
+            if n_bound > 0:
+                self.t("seen_set").commit_partitions(touched, "bucket")
             firsts.unpersist()
 
-        return new_rows, commit_fn
+        return new_rows, commit_fn, obs
 
     # -- the loop -------------------------------------------------------------
     def run(self, max_iterations: int | None = None) -> list[IterationStats]:
@@ -469,8 +529,10 @@ class CrawlEngine:
             # union+min would let every token-bucket row bypass the static
             # __default__ cap (oracle.py:100-106 takes the min with default)
             budgets = FR.merge_budgets(budgets, self._default_budget, tb_budgets)
-        batch = FR.take_batch(due, cfg.batch_size, budgets, self._default_budget)
-        batch = FR.with_lease_seq(batch, self.next_seq).persist()
+        # the global lease-seq window (bounded, single-partition over ≤k rows)
+        # is NOT applied here: only the crawl_order audit commit needs seq, so
+        # it runs inside that commit's thread, off the iteration critical path
+        batch = FR.take_batch(due, cfg.batch_size, budgets, self._default_budget).persist()
 
         # fused fetch+parse: one python eval per task (fetcher.py rationale)
         # host-grouped partitioning only matters when per-host rate limits
@@ -486,7 +548,7 @@ class CrawlEngine:
                 F.col("status_code").alias("cached_status"),
                 F.col("content").alias("cached_content"),
             )
-            fetch_input = batch.join(cache, on="fingerprint", how="left")
+            fetch_input = fetch_input.join(cache, on="fingerprint", how="left")
         fetched = fetch_parse_batch(
             fetch_input,
             self.resolver,
@@ -496,6 +558,7 @@ class CrawlEngine:
             host_salt_splits=cfg.host_salt_splits,
             parse_fn=cfg.parse_fn,
             parsers=cfg.parsers,
+            download_midware=cfg.download_midware,
         ).persist()
         parsed = fetched.filter(F.col("status_code") == 200)
 
@@ -558,8 +621,10 @@ class CrawlEngine:
         )
         if cfg.respect_robots:
             cands = self._apply_robots(cands)
-        new_rows, seen_commit = self._claim_new(cands)
-        links_new = new_rows.count()
+        new_rows, seen_commit, links_obs = self._claim_new(cands)
+        # links_new is NOT counted here — it arrives via the Observation as a
+        # by-product of the commit job that materializes new_rows (one fewer
+        # driver job per iteration); until then use links_total as the bound
 
         # --- retry / failed routing ---
         failures = fetched.filter(not_ok)
@@ -612,14 +677,17 @@ class CrawlEngine:
         # row versions — O(batch) write bytes, never an O(frontier) rewrite
         additions = retries.unionByName(new_rows)
         tombstones = batch.select("fingerprint", "retry_times", "added_iteration")
-        self.frontier_size = self.frontier_size - leased + retried_n + links_new
         self.tombstone_rows += leased
 
-        commits = [lambda: seen_commit(links_new, self.iteration)]
-        if retried_n + links_new > 0:
+        # links_new > 0 requires candidates, i.e. links_total > 0; the
+        # additions commit is the job that materializes new_rows and fires
+        # the links Observation
+        may_have_new = links_total > 0
+        commits = [lambda: seen_commit(links_total, self.iteration)]
+        if retried_n > 0 or may_have_new:
             commits.append(
                 lambda: self.t("frontier").commit(
-                    self._sized(additions, retried_n + links_new), mode="append"
+                    self._sized(additions, retried_n + links_total), mode="append"
                 )
             )
         commits.append(
@@ -642,9 +710,14 @@ class CrawlEngine:
                 lambda: self.t("failed").commit(self._sized(failed_new, failed_n), mode="append")
             )
         commits.append(
+            # the global lease-seq window runs here, inside the commit thread
+            # (bounded by k; concurrent with the big docs/frontier writes)
             lambda: self.t("crawl_order").commit(
                 self._sized(
-                    batch.select("seq", F.lit(self.iteration).alias("iteration"), "fingerprint"), leased
+                    FR.with_lease_seq(batch, self.next_seq).select(
+                        "seq", F.lit(self.iteration).alias("iteration"), "fingerprint"
+                    ),
+                    leased,
                 ),
                 mode="append",
             )
@@ -670,6 +743,20 @@ class CrawlEngine:
                 fut.result()  # propagate any commit failure before checkpointing
         if self._bloom is not None:
             self._bloom.release()
+        # the Observation fired inside whichever commit materialized new_rows
+        # (the seen commit consumes it when candidates existed); with zero
+        # candidate links, links_new is definitionally zero.  When a cache
+        # race swallows the metrics (both consumers read an InMemoryScan and
+        # neither query surfaces the inner CollectMetrics), fall back to a
+        # count over the now-hot cache — correctness never depends on obs.
+        links_new = 0
+        if may_have_new:
+            try:
+                links_new = int(links_obs.get["n_new"])
+            except Exception:
+                self._obs_fallbacks += 1
+                links_new = new_rows.count()
+        self.frontier_size = self.frontier_size - leased + retried_n + links_new
         st = IterationStats(
             iteration=self.iteration,
             leased=leased,

@@ -88,6 +88,7 @@ def fetch_parse_batch(
     host_salt_splits: int = 1,
     parse_fn=None,
     parsers: dict | None = None,
+    download_midware=None,
 ) -> DataFrame:
     """Fused fetch+parse: ONE Arrow hop per task instead of a chain of
     python evals (a chained canonicalize→fetch→parse pipeline runs several
@@ -119,6 +120,13 @@ def fetch_parse_batch(
     Rows may carry ``method``/``payload`` columns (TaskSpider per-task
     params, network/request.py:45-81); they are forwarded to the resolver
     when present.
+
+    ``download_midware``: pre-fetch request transform
+    (base_parser.py:32-41 / request.py:396-406 download_midware chain):
+    ``fn(req_dict) -> dict | None`` where the dict may override
+    url/method/data for the fetch.  As in the reference, the request's
+    IDENTITY (fingerprint, url_canon) is unchanged — the midware only shapes
+    the outgoing fetch (headers/proxy-style rewrites).
     """
     import json as _json
 
@@ -152,15 +160,26 @@ def fetch_parse_batch(
                 row_parse = spec.get("parse_fn") if spec else None
                 row_parse = row_parse or parse_fn or H.parse_document
                 from_cache = use_cache and c_status is not None and not pd.isna(c_status)
+                fetch_url, fetch_method, fetch_data = (
+                    url, method, dict(payload) if payload is not None else None
+                )
+                if download_midware is not None and not from_cache:
+                    mw = download_midware(
+                        {"url": fetch_url, "method": fetch_method, "data": fetch_data}
+                    )
+                    if isinstance(mw, dict):
+                        fetch_url = mw.get("url", fetch_url)
+                        fetch_method = mw.get("method", fetch_method)
+                        fetch_data = mw.get("data", fetch_data)
                 if from_cache:
                     status, raw = int(c_status), c_content
-                elif method is not None or payload is not None:
+                elif fetch_method is not None or fetch_data is not None:
                     status, raw = resolver.resolve(
-                        url, attempt=int(retry),
-                        method=method or "GET", data=dict(payload) if payload is not None else None,
+                        fetch_url, attempt=int(retry),
+                        method=fetch_method or "GET", data=fetch_data,
                     )
                 else:
-                    status, raw = resolver.resolve(url, attempt=int(retry))
+                    status, raw = resolver.resolve(fetch_url, attempt=int(retry))
                 if status == 200 and row_validate is not None:
                     try:
                         if not row_validate(url, raw):

@@ -52,6 +52,7 @@ class ItemTable:
         unique_key: list[str] | None = None,
         update_key: list[str] | None = None,
         key_cols: list[str] | None = None,
+        pre_to_db=None,
     ):
         self.spark = spark
         self.name = table_name_of(item_class_name)
@@ -59,6 +60,11 @@ class ItemTable:
         self.unique_key = unique_key
         self.update_key = update_key
         self.key_cols = key_cols or ["id"]
+        # Item.pre_to_db (item.py:59-63): a DataFrame→DataFrame transform
+        # applied before fingerprinting/export (use JVM column expressions,
+        # not per-row Python, for the hot path)
+        self.pre_to_db = pre_to_db
+        self._store = store
         self.table = store.table(self.name)
         if not self.table.exists():
             self.table.create_empty(schema_ddl + ", __fp STRING")
@@ -70,19 +76,61 @@ class ItemTable:
         cols = self.unique_key or [c for c in df.columns]
         return df.withColumn("__fp", item_fp_col(cols))
 
-    def save_items(self, df: DataFrame) -> int:
+    def save_items(self, df: DataFrame, pipelines: list | None = None) -> int:
         """Item path: in-batch dedup + anti-join vs recorded fingerprints,
         then export (the snapshot commit records the fingerprints with the
         rows — item_buffer's export-then-add ordering by construction).
-        Returns rows exported."""
+
+        ``pipelines``: extra export targets (sources/sinks.py contract).  If
+        any pipeline raises or returns falsy, the batch is PARKED in a
+        ``<table>__failed_items`` table and the fingerprints are NOT
+        committed — the reference's transient-export-failure path
+        (item_buffer.py:351-414: failed exports are retained and re-exported
+        later); call :meth:`reload_failed_items` to retry.  Returns rows
+        exported (0 when the batch parked)."""
+        if self.pre_to_db is not None:
+            df = self.pre_to_db(df)
         fp = self._with_fp(df)
         firsts = fp.dropDuplicates(["__fp"])
         new = firsts.join(self.read().select("__fp"), on="__fp", how="left_anti").persist()
         n = new.count()
         if n:
+            ok = True
+            for p in pipelines or []:
+                try:
+                    if not p.save_items(self.name, new.drop("__fp")):
+                        ok = False
+                except Exception:
+                    ok = False
+            if not ok:
+                self._failed_table().commit(new.select(*self.read().columns), mode="append")
+                new.unpersist()
+                return 0
             self.table.commit(new.select(*self.read().columns), mode="append")
         new.unpersist()
         return n
+
+    def _failed_table(self):
+        name = f"{self.name}__failed_items"
+        t = self._store.table(name)
+        if not t.exists():
+            t.create_empty(self.schema_ddl + ", __fp STRING")
+        return t
+
+    def reload_failed_items(self, pipelines: list | None = None) -> int:
+        """Re-export every parked item batch (S10,
+        handle_failed_items semantics: core/handle_failed_items.py) and clear
+        the park on success.  Returns rows successfully re-exported."""
+        parked = self._failed_table().read().localCheckpoint()
+        n = parked.count()
+        if n == 0:
+            return 0
+        # clear the park first; a still-failing export re-parks the batch
+        self._failed_table().commit(
+            self.spark.createDataFrame([], self.schema_ddl + ", __fp STRING"),
+            mode="overwrite",
+        )
+        return self.save_items(parked.drop("__fp"), pipelines=pipelines)
 
     def update_items(self, df: DataFrame) -> None:
         """UpdateItem path: MERGE on __update_key__ (upsert when the row is

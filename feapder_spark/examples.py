@@ -53,6 +53,15 @@ class DetailParser(BaseParser):
         return detail_parse(url_canon, html)
 
 
+def mirror_download_midware(req):
+    """download_midware example (base_parser.py:32-41): fetch bad-host URLs
+    from a mirror; the request identity (fingerprint/url_canon) stays the
+    original, only the outgoing fetch is rerouted."""
+    if "host-bad.test" in req["url"]:
+        return {"url": req["url"].replace("host-bad.test", "host-0.test")}
+    return None
+
+
 def rewrite_badhost_exception_request(req):
     """exception_request hook example (base_parser.py:71-83): requests that
     failed on the always-failing host are rewritten to a good mirror URL and

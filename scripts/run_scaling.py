@@ -35,6 +35,12 @@ def run_at(cpus: int, *, n_hosts: int, pages_per_host: int, batch_size: int, ite
         active.stop()
     spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(8, cpus))
     spark.range(1_000_000).count()  # JVM warm-up
+    # python-worker warm-up (spawn + imports), same methodology as the
+    # data-plane bench: production executors are long-lived, so worker
+    # start-up is not part of steady-state iteration cost
+    spark.range(max(8, cpus)).repartition(max(8, cpus)).mapInPandas(
+        lambda it: it, "id LONG"
+    ).count()
 
     web = SyntheticWeb(n_hosts=n_hosts, pages_per_host=pages_per_host, seed=42, n_links=16, page_weight=page_weight)
     seeds = [
@@ -110,26 +116,53 @@ def dataplane_at(cpus: int, n_hosts: int, pages_per_host: int, page_weight: int 
     }
 
 
-def main() -> None:
-    quick = "--quick" in sys.argv
+def _params(quick: bool) -> dict:
     # full mode: one mega-batch (production-sized relative to fixed costs)
-    params = dict(
+    return dict(
         n_hosts=200 if quick else 550,
         pages_per_host=60 if quick else 320,
         batch_size=12000 if quick else 176_000,
         iterations=2 if quick else 1,
         page_weight=3 if quick else 6,
     )
+
+
+def _one(kind: str, cpus: int, quick: bool) -> dict:
+    if kind == "dataplane":
+        dp_hosts, dp_pages = (300, 160) if quick else (600, 320)
+        return dataplane_at(cpus, dp_hosts, dp_pages)
+    return run_at(cpus, **_params(quick))
+
+
+def _spawn(kind: str, cpus: int, quick: bool) -> dict:
+    """Each measurement in its OWN process: a fresh JVM per parallelism
+    level, so no GC debt / cache state leaks between the N and 4N runs."""
+    import subprocess
+
+    args = [sys.executable, os.path.abspath(__file__), "--one", kind, str(cpus)]
+    if quick:
+        args.append("--quick")
+    out = subprocess.run(args, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    if "--one" in sys.argv:
+        i = sys.argv.index("--one")
+        print(json.dumps(_one(sys.argv[i + 1], int(sys.argv[i + 2]), quick)))
+        return
+    params = _params(quick)
     dp_hosts, dp_pages = (300, 160) if quick else (600, 320)
-    d2 = dataplane_at(2, dp_hosts, dp_pages)
-    d8 = dataplane_at(8, dp_hosts, dp_pages)
-    d32 = dataplane_at(32, dp_hosts, dp_pages)
+    d2 = _spawn("dataplane", 2, quick)
+    d8 = _spawn("dataplane", 8, quick)
+    d32 = _spawn("dataplane", 32, quick)
     dp_eff_28 = (d8["pages_per_sec"] / d2["pages_per_sec"]) / 4
     dp_eff_832 = (d32["pages_per_sec"] / d8["pages_per_sec"]) / 4
 
-    r2 = run_at(2, **params)
-    r8 = run_at(8, **params)
-    r32 = run_at(32, **params)
+    r2 = _spawn("full", 2, quick)
+    r8 = _spawn("full", 8, quick)
+    r32 = _spawn("full", 32, quick)
     eff_28 = (r8["urls_per_sec"] / r2["urls_per_sec"]) / 4
     eff_832 = (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4
     result = {

@@ -170,3 +170,100 @@ def test_bucketed_neardup_subset_of_bruteforce(spark):
         (r.vec_a, r.vec_b) for r in brute.collect() if buckets[r.vec_a] == buckets[r.vec_b]
     }
     assert got == expected
+
+
+def test_add_requests_mid_crawl(spark, tmp_path):
+    """S6: standing seed injection — new requests join the live frontier
+    with claim-on-enqueue dedup; duplicates of already-claimed URLs drop."""
+    web = SyntheticWeb(n_hosts=3, pages_per_host=3, seed=42, n_links=0, flaky_every=10**9)
+    engine = CrawlEngine(spark, str(tmp_path / "wh"), web, CrawlConfig(batch_size=4))
+    engine.seed([{"url": web.url(0, 0)}, {"url": web.url(0, 1)}])
+    engine.run(max_iterations=1)
+
+    added = engine.add_requests(
+        [
+            {"url": web.url(0, 0)},                     # dup of a claimed seed → dropped
+            {"url": web.url(1, 0), "priority": 100},    # fresh
+            {"url": web.url(2, 0)},                     # fresh
+        ]
+    )
+    assert added == 2
+    assert engine.frontier().count() == 2  # the two fresh rows (seeds drained)
+    engine.run()
+    docs = {r.url for r in engine.t("docs").read().collect()}
+    assert web.url(1, 0) in docs and web.url(2, 0) in docs
+    # claimed exactly once each
+    assert engine.t("seen").read().count() == 4
+
+
+class _FlakyPipeline:
+    """Fails the first call, succeeds afterwards (transient export failure)."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def save_items(self, table_name, items):
+        self.calls += 1
+        if self.calls == 1:
+            raise IOError("transient sink outage")
+        return True
+
+
+def test_failed_item_park_and_reload(spark, tmp_path):
+    """S10: a failing export parks the batch WITHOUT committing fingerprints
+    (export-then-commit ordering, item_buffer.py:351-414); reload re-exports."""
+    from feapder_spark.crawl.items import ItemTable
+
+    store = SnapshotStore(spark, str(tmp_path / "wh"))
+    t = ItemTable(spark, store, "DemoItem", "id INT, name STRING", unique_key=["id"])
+    items = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, name STRING")
+    sink = _FlakyPipeline()
+
+    assert t.save_items(items, pipelines=[sink]) == 0  # export failed → parked
+    assert t.read().count() == 0                        # fingerprints NOT committed
+    assert t._failed_table().read().count() == 2
+
+    assert t.reload_failed_items(pipelines=[sink]) == 2  # retry succeeds
+    assert t.read().count() == 2
+    assert t._failed_table().read().count() == 0
+    # idempotent: re-saving the same items is a dedup no-op now
+    assert t.save_items(items, pipelines=[sink]) == 0
+    assert t.read().count() == 2
+
+
+def test_download_midware_reroutes_fetch_only(spark, tmp_path):
+    """download_midware (base_parser.py:32-41): the outgoing fetch is
+    transformed, the request identity is not — the doc lands under the
+    ORIGINAL canonical url."""
+    from feapder_spark.examples import mirror_download_midware
+    from feapder_spark.urlnorm import canonicalize_url, get_md5
+
+    web = SyntheticWeb(n_hosts=1, pages_per_host=2, seed=42, n_links=0, flaky_every=10**9)
+    cfg = CrawlConfig(batch_size=8, download_midware=mirror_download_midware)
+    engine = CrawlEngine(spark, str(tmp_path / "wh"), web, cfg)
+    bad = "http://host-bad.test/page-1"
+    engine.seed([{"url": bad}, {"url": web.url(0, 0)}])
+    stats = engine.run()
+    assert sum(s.fetched_ok for s in stats) == 2  # bad-host fetch rerouted → 200
+    docs = {r.url for r in engine.t("docs").read().collect()}
+    assert canonicalize_url(bad) in docs  # identity preserved
+    assert engine.t("failed").read().count() == 0
+    # seen set claimed the ORIGINAL fingerprint
+    assert get_md5(canonicalize_url(bad)) in {
+        r.fingerprint for r in engine.t("seen").read().collect()
+    }
+
+
+def test_item_pre_to_db_transform(spark, tmp_path):
+    """Item.pre_to_db (item.py:59-63): items transform before export."""
+    from feapder_spark.crawl.items import ItemTable
+
+    store = SnapshotStore(spark, str(tmp_path / "wh"))
+    t = ItemTable(
+        spark, store, "CleanItem", "id INT, name STRING", unique_key=["id"],
+        pre_to_db=lambda df: df.withColumn("name", F.upper(F.col("name"))),
+    )
+    t.save_items(spark.createDataFrame([(1, "a"), (2, "b")], "id INT, name STRING"))
+    assert {r.name for r in t.read().collect()} == {"A", "B"}
+    # dedup happens on the POST-transform fingerprint (re-save is a no-op)
+    assert t.save_items(spark.createDataFrame([(1, "a")], "id INT, name STRING")) == 0
