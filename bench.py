@@ -123,6 +123,12 @@ def main() -> None:
 
     crawl = crawl_bench(spark)
     crawl_bloom = crawl_bench(spark, seen="bloom")
+    # production-shaped pair: ONE big-batch iteration (a 10^10-frontier
+    # deployment leases 1e5-1e6 rows per iteration, so per-iteration fixed
+    # costs — where the Bloom path pays an extra Arrow stage — amortize out;
+    # at this shape the scale path runs at parity with the exact path)
+    crawl_big = crawl_bench(spark, batch_size=24000, max_iterations=1)
+    crawl_bloom_big = crawl_bench(spark, batch_size=24000, max_iterations=1, seen="bloom")
 
     out = {
         "metric": "headline query suite wall time at sf (plus crawl URLs/sec + dedup keys/sec)",
@@ -133,6 +139,8 @@ def main() -> None:
         "cpus": cpus,
         "crawl": crawl,
         "crawl_bloom": crawl_bloom,
+        "crawl_bigbatch": crawl_big,
+        "crawl_bloom_bigbatch": crawl_bloom_big,
         "dedup_keys_per_sec": dedup_rate,
     }
     print(json.dumps(out))

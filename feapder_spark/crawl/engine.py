@@ -139,6 +139,9 @@ class CrawlConfig:
     bloom_buckets: int = 64
     bloom_capacity_per_bucket: int = 1_000_000
     bloom_error_rate: float = 1e-5
+    # driver-side blob-partition pruning engages above this partition count
+    # (below it, scanning the whole small table beats an extra driver job)
+    bloom_prune_read_min_partitions: int = 256
     # S8/J4: reuse previously-fetched 200 responses from the fetch_cache
     # table (request.py:498-532 response-cache semantics, TTL = table prune)
     use_fetch_cache: bool = False
@@ -466,14 +469,22 @@ class CrawlEngine:
         )
         # driver-side partition pruning: collect the candidates' bucket ids
         # (≤ num_buckets tiny ints) and read ONLY those blob partitions — the
-        # untouched ~15 MB blobs are never opened, in Python or the JVM
-        touched_keys = [
-            r[0]
-            for r in firsts.select(self._bloom.bucket_col("fingerprint").alias("bucket"))
-            .distinct()
-            .collect()
-        ]
-        blobs = self.t("seen_set").read_partitions(touched_keys)
+        # untouched ~15 MB blobs are never opened, in Python or the JVM.
+        # Worth one extra driver job only when the table has enough
+        # partitions to prune (same logic as a broadcast threshold): a small
+        # blob table is cheaper to scan whole and let check_and_add's
+        # semi-join prune in-JVM.
+        n_parts = len(self.t("seen_set").manifest().partitions or {})
+        if n_parts > self.cfg.bloom_prune_read_min_partitions:
+            touched_keys = [
+                r[0]
+                for r in firsts.select(self._bloom.bucket_col("fingerprint").alias("bucket"))
+                .distinct()
+                .collect()
+            ]
+            blobs = self.t("seen_set").read_partitions(touched_keys)
+        else:
+            blobs = self.t("seen_set").read()
         results, _, touched = self._bloom.check_and_add(firsts.select("fingerprint"), blobs)
         new_rows = (
             firsts.join(results.filter(F.col("is_new") == 1).select("fingerprint"), on="fingerprint")

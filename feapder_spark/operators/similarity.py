@@ -57,12 +57,15 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
     )
 
 
-def bucket_expr(emb_col: str = "embedding", n_bits: int = 8):
-    """Sign-LSH bucket id from the first n_bits dimensions (1-indexed
-    element_at, identical to DuckDB list indexing)."""
+def bucket_expr(emb_col: str = "embedding", n_bits: int = 8, offset: int = 0):
+    """Sign-LSH bucket id from n_bits dimensions starting at ``offset``
+    (1-indexed element_at, identical to DuckDB list indexing).  Distinct
+    offsets give independent hash tables (multi-band LSH)."""
     b = F.lit(0)
     for i in range(n_bits):
-        b = b + F.when(F.element_at(F.col(emb_col), i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        b = b + F.when(
+            F.element_at(F.col(emb_col), offset + i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
     return b.cast("int")
 
 
@@ -101,6 +104,37 @@ def bucketed_neardup_pairs(
         pairs.withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_a", "vec_b", "bucket", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
+def multiband_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.45, n_bits: int = 4, n_tables: int = 3
+) -> DataFrame:
+    """Multi-table sign-LSH near-dup: candidates are pairs sharing a bucket
+    in ANY of ``n_tables`` independent hash tables (disjoint dimension
+    blocks), verified by exact cosine — the standard banding trick that
+    raises recall without shrinking buckets (recall ≈ 1-(1-p^b)^T vs the
+    single-table p^b).  Candidate generation stays hash joins; the union is
+    deduped on the pair key BEFORE the cosine so each pair verifies once."""
+    e = embeddings.select("vec_id", "embedding")
+    cand = None
+    for t in range(n_tables):
+        bt = e.withColumn("bucket", bucket_expr(n_bits=n_bits, offset=t * n_bits))
+        a = bt.select(F.col("vec_id").alias("vec_a"), "bucket")
+        b = bt.select(F.col("vec_id").alias("vec_b"), "bucket")
+        pairs = a.join(b, on="bucket").filter(F.col("vec_a") < F.col("vec_b")).select(
+            "vec_a", "vec_b"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    scored = cand.join(ea, on="vec_a").join(eb, on="vec_b")
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+    return (
+        scored.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
     )
 
 

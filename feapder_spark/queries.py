@@ -764,6 +764,59 @@ def ann_verified_neardups(spark, sf_dir):
     return SIM.bucketed_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45, n_bits=4)
 
 
+def _band_sql(t: int, n_bits: int = 4) -> str:
+    return " + ".join(
+        f"(CASE WHEN emb[{t * n_bits + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+
+
+ANN_MULTIBAND_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+    eb AS (
+      SELECT vec_id, emb,
+             CAST({_band_sql(0)} AS INTEGER) AS b0,
+             CAST({_band_sql(1)} AS INTEGER) AS b1,
+             CAST({_band_sql(2)} AS INTEGER) AS b2,
+             CAST({_band_sql(3)} AS INTEGER) AS b3,
+             CAST({_band_sql(4)} AS INTEGER) AS b4,
+             CAST({_band_sql(5)} AS INTEGER) AS b5
+      FROM e),
+    cand AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb FROM eb a JOIN eb b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id, b.vec_id FROM eb a JOIN eb b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id, b.vec_id FROM eb a JOIN eb b ON a.b2 = b.b2 AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id, b.vec_id FROM eb a JOIN eb b ON a.b3 = b.b3 AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id, b.vec_id FROM eb a JOIN eb b ON a.b4 = b.b4 AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id, b.vec_id FROM eb a JOIN eb b ON a.b5 = b.b5 AND a.vec_id < b.vec_id)
+    SELECT va AS vec_a, vb AS vec_b,
+           round(list_dot_product(ea.emb, eb2.emb)
+                 / (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb2.emb, eb2.emb))), 6) AS cos
+    FROM cand JOIN e ea ON ea.vec_id = va JOIN e eb2 ON eb2.vec_id = vb
+    WHERE list_dot_product(ea.emb, eb2.emb)
+          / (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb2.emb, eb2.emb))) >= 0.45
+    """
+
+
+@register("ann_multiband_neardups", ANN_MULTIBAND_SQL)
+def ann_multiband_neardups(spark, sf_dir):
+    """Multi-table sign-LSH near-dup (6 tables × 4 bits over disjoint dim
+    blocks): candidate pairs share a bucket in ANY table (union, deduped
+    pair-first), then exact-cosine verified — the banding trick that raises
+    LSH recall (≈1-(1-p^b)^T) while candidate generation stays hash joins;
+    (n_bits, n_tables) is the recall/candidate-volume dial."""
+    return SIM.multiband_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_bits=4, n_tables=6
+    )
+
+
 @register(
     "fingerprint_body_args",
     """

@@ -12,7 +12,12 @@ def test_bloom_engine_matches_oracle(spark, tmp_path):
     seeds = web.seeds(6)
     golden = run_oracle(web, seeds, batch_size=12)
 
-    cfg = CrawlConfig(batch_size=12, seen_set="bloom", bloom_buckets=8, bloom_capacity_per_bucket=10_000)
+    # prune threshold 0 ⇒ the driver-side partition-pruned read path runs
+    # (the default threshold only engages it on many-bucket tables)
+    cfg = CrawlConfig(
+        batch_size=12, seen_set="bloom", bloom_buckets=8,
+        bloom_capacity_per_bucket=10_000, bloom_prune_read_min_partitions=0,
+    )
     engine = CrawlEngine(spark, str(tmp_path / "wh"), web, cfg)
     assert engine.seed(seeds) is True
     engine.run()

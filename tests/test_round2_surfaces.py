@@ -267,3 +267,40 @@ def test_item_pre_to_db_transform(spark, tmp_path):
     assert {r.name for r in t.read().collect()} == {"A", "B"}
     # dedup happens on the POST-transform fingerprint (re-save is a no-op)
     assert t.save_items(spark.createDataFrame([(1, "a")], "id INT, name STRING")) == 0
+
+
+def test_multiband_lsh_recall_dominates_single_table(spark):
+    """Multi-band LSH (banding trick): pairs found = brute-force near-dups
+    colliding in ANY table; recall must dominate the single-table pipeline."""
+    from feapder_spark.operators.similarity import (
+        _dot,
+        _norm,
+        bucket_expr,
+        bucketed_neardup_pairs,
+        multiband_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    single = {(r.vec_a, r.vec_b) for r in bucketed_neardup_pairs(emb, 0.45, n_bits=4).collect()}
+    multi = {(r.vec_a, r.vec_b) for r in multiband_neardup_pairs(emb, 0.45, 4, 6).collect()}
+    assert single <= multi  # table 0 of the multiband IS the single table
+
+    # exactness: multiband == brute-force pairs sharing any of the 6 buckets
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+    brute = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn("cos", cos).filter(
+        F.col("cos") >= 0.45
+    )
+    buckets = {
+        r.vec_id: [r[f"b{t}"] for t in range(6)]
+        for r in emb.select(
+            "vec_id", *[bucket_expr(n_bits=4, offset=t * 4).alias(f"b{t}") for t in range(6)]
+        ).collect()
+    }
+    expected = {
+        (r.vec_a, r.vec_b)
+        for r in brute.collect()
+        if any(x == y for x, y in zip(buckets[r.vec_a], buckets[r.vec_b]))
+    }
+    assert multi == expected
