@@ -87,7 +87,7 @@ FAILED_DDL = (
 ORDER_DDL = "seq LONG, iteration INT, fingerprint STRING"
 METRICS_DDL = (
     "iteration INT, leased LONG, fetched_ok LONG, links_new LONG, links_dup LONG, "
-    "retried LONG, failed LONG"
+    "links_dropped LONG, retried LONG, failed LONG"
 )
 PART_METRICS_DDL = "iteration INT, stage STRING, partition_id INT, rows LONG"
 FETCH_CACHE_DDL = "fingerprint STRING, status_code INT, content STRING"
@@ -191,6 +191,7 @@ class IterationStats:
     links_dup: int
     retried: int
     failed: int
+    links_dropped: int = 0  # robots-disallowed candidates (not dups)
 
 
 class CrawlEngine:
@@ -630,8 +631,14 @@ class CrawlEngine:
             .withColumn("method", F.lit(None).cast("string"))
             .withColumn("payload", F.lit(None).cast("map<string,string>"))
         )
+        kept_obs = None
         if cfg.respect_robots:
-            cands = self._apply_robots(cands)
+            # count the robots survivors as a free by-product of the same
+            # commit job, so robots-dropped links stop inflating links_dup
+            kept_obs = Observation()
+            cands = self._apply_robots(cands).observe(
+                kept_obs, F.count(F.lit(1)).alias("n_kept")
+            )
         new_rows, seen_commit, links_obs = self._claim_new(cands)
         # links_new is NOT counted here — it arrives via the Observation as a
         # by-product of the commit job that materializes new_rows (one fewer
@@ -761,21 +768,28 @@ class CrawlEngine:
         # neither query surfaces the inner CollectMetrics), fall back to a
         # count over the now-hot cache — correctness never depends on obs.
         links_new = 0
+        links_dropped = 0
         if may_have_new:
             try:
                 links_new = int(links_obs.get["n_new"])
             except Exception:
                 self._obs_fallbacks += 1
                 links_new = new_rows.count()
+            if kept_obs is not None:
+                try:
+                    links_dropped = links_total - int(kept_obs.get["n_kept"])
+                except Exception:
+                    self._obs_fallbacks += 1
         self.frontier_size = self.frontier_size - leased + retried_n + links_new
         st = IterationStats(
             iteration=self.iteration,
             leased=leased,
             fetched_ok=fetched_ok,
             links_new=links_new,
-            links_dup=links_total - links_new,
+            links_dup=links_total - links_dropped - links_new,
             retried=retried_n,
             failed=failed_n,
+            links_dropped=links_dropped,
         )
         self.iteration += 1
         self.next_seq += leased
@@ -872,7 +886,8 @@ class CrawlEngine:
                 rows.append(
                     (
                         stx["iteration"], stx["leased"], stx["fetched_ok"], stx["links_new"],
-                        stx["links_dup"], stx["retried"], stx["failed"],
+                        stx["links_dup"], stx.get("links_dropped", 0), stx["retried"],
+                        stx["failed"],
                     )
                 )
         if rows:

@@ -74,3 +74,35 @@ def test_whole_stage_codegen_covers_textstats(spark):
     # pure built-in expressions → inside whole-stage codegen, no Python eval
     assert "[codegen id" in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bucketed_neardup_is_hash_join_not_cartesian(spark):
+    """The composed ANN pipelines must candidate-generate via bucket hash
+    joins — a CartesianProduct/BroadcastNestedLoop in the plan means the
+    O(N²) anti-pattern snuck back in."""
+    from feapder_spark.operators.similarity import (
+        bucketed_neardup_pairs,
+        multiband_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for df in (
+        bucketed_neardup_pairs(emb, 0.45, n_bits=4),
+        multiband_neardup_pairs(emb, 0.45, 4, 3),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_visible_frontier_is_anti_join(spark, tmp_path):
+    """The delta-log read is adds ⟕anti tombstones (LeftAnti in the plan) —
+    never a full materialized rewrite."""
+    from feapder_spark.crawl.engine import CrawlConfig, CrawlEngine
+    from feapder_spark.crawl.synthweb import SyntheticWeb
+
+    web = SyntheticWeb(n_hosts=2, pages_per_host=2, seed=42)
+    engine = CrawlEngine(spark, str(tmp_path / "wh"), web, CrawlConfig(batch_size=4))
+    engine.seed([{"url": web.url(0, 0)}])
+    plan = _plan(engine.frontier())
+    assert "LeftAnti" in plan, plan

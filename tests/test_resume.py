@@ -37,3 +37,30 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     assert "deadbeef" not in seen, "torn partial commit must be discarded on resume"
     assert order == golden.crawl_order
     assert seen == golden.seen
+
+
+def test_compaction_preserves_crawl_equivalence(spark, tmp_path):
+    """compact_frontier is pure maintenance: with compaction forced after
+    EVERY iteration, the crawl must replay the oracle unchanged, and the
+    tombstone log must stay empty after each fold."""
+    from feapder_spark.crawl.oracle import run_oracle
+    from feapder_spark.crawl.synthweb import SyntheticWeb
+
+    web = SyntheticWeb(n_hosts=4, pages_per_host=3, seed=42)
+    seeds = web.seeds(4)
+    golden = run_oracle(web, seeds, batch_size=8)
+
+    cfg = CrawlConfig(batch_size=8, compact_min_tombstones=1)
+    engine = CrawlEngine(spark, str(tmp_path / "wh"), web, cfg)
+    engine.seed(seeds)
+    engine.run()
+    order = [
+        r.fingerprint
+        for r in engine.t("crawl_order").read().orderBy("seq").select("fingerprint").collect()
+    ]
+    assert order == golden.crawl_order
+    assert {r.fingerprint for r in engine.t("seen").read().collect()} == golden.seen
+    assert engine.t("frontier_tombs").read().count() == 0
+    assert engine.tombstone_rows == 0
+    # the compacted adds table IS the visible set (no shadowed rows)
+    assert engine.t("frontier").read().count() == engine.frontier().count()

@@ -82,3 +82,22 @@ def test_engine_respects_robots(spark, tmp_path):
             host = r.url.split("/")[2]
             if host in blocked_hosts and r.url.count("/") >= 3:
                 assert not ("/" + r.url.split("/", 3)[3]).startswith("/page-1")
+
+
+def test_links_dropped_metric_separates_robots_from_dups(spark, tmp_path):
+    """links_dup must count actual duplicates; robots-disallowed candidates
+    land in links_dropped (round-1 conflation fix)."""
+    web = SyntheticWeb(n_hosts=8, pages_per_host=4, seed=42)
+    cfg = CrawlConfig(batch_size=32, respect_robots=True)
+    engine = CrawlEngine(spark, str(tmp_path / "wh"), web, cfg)
+    engine.seed(web.seeds(8))
+    stats = engine.run()
+    assert sum(s.links_dropped for s in stats) > 0  # fixture has disallowed links
+    assert all(s.links_dropped >= 0 and s.links_dup >= 0 for s in stats)
+    m = engine.t("metrics").read().collect()
+    assert sum(r.links_dropped for r in m) == sum(s.links_dropped for s in stats)
+    # without robots, nothing is dropped
+    engine2 = CrawlEngine(spark, str(tmp_path / "wh2"), web, CrawlConfig(batch_size=32))
+    engine2.seed(web.seeds(8))
+    stats2 = engine2.run()
+    assert all(s.links_dropped == 0 for s in stats2)
