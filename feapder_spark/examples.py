@@ -36,6 +36,25 @@ def detail_parse(url_canon, html):
     return spans, [], "DETAIL:" + title
 
 
+class SelectorSpider(Spider):
+    """A reference-style parse body: build a Response and extract with
+    xpath/css exactly as a feapder parser would (response.py:320-374)."""
+
+    start_urls = ["http://host-0.test/page-0", "http://host-1.test/page-0"]
+    batch_size = 16
+
+    def parse(self, url_canon, html):
+        from feapder_spark.crawl import html as H
+        from feapder_spark.crawl.response import Response
+
+        r = Response(url_canon, html)
+        title = r.xpath("//title/text()").get() or ""
+        links = [r.urljoin(u) for u in r.css("a::attr(href)").extract()]
+        links = [u for u in links if not any(b in u for b in H.STOP_URLS)]
+        spans, _links_ref, _t = H.parse_document(url_canon, html)
+        return spans, links, "SEL:" + title
+
+
 class ListDemoSpider(Spider):
     """Two-template crawl: the spider is the list parser, registered
     DetailParser handles the routed detail links (spider-integration

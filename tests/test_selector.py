@@ -69,3 +69,33 @@ def test_unsupported_raises():
         s.css("a > b")
     with pytest.raises(ValueError):
         s.xpath("//a/following-sibling::b")
+
+
+def test_response_facade():
+    from feapder_spark.crawl.response import Response
+
+    r = Response("http://h1.test/a/b", "<html><title>T1</title><a href='/x'>x</a> code 77</html>")
+    assert r.xpath("//title/text()").get() == "T1"
+    assert r.css("a::attr(href)").extract() == ["/x"]
+    assert r.urljoin("/x") == "http://h1.test/x"
+    assert r.urljoin("y") == "http://h1.test/a/y"
+    assert r.re(r"code (\d+)") == ["77"]
+    assert r.re_first(r"code (\d+)") == "77"
+    assert r.ok
+
+    body = '<meta charset="iso-8859-1"><p>caf\xe9</p>'.encode("iso-8859-1")
+    r2 = Response.from_bytes("http://h1.test/", body)
+    assert "café" in r2.text
+
+
+def test_selector_spider_end_to_end(spark, tmp_path):
+    from feapder_spark.crawl.synthweb import SyntheticWeb
+    from feapder_spark.examples import SelectorSpider
+
+    web = SyntheticWeb(n_hosts=2, pages_per_host=2, seed=42, flaky_every=10**9)
+    sp = SelectorSpider()
+    sp.start(spark, str(tmp_path / "wh"), web)
+    items = [r.title for r in sp.engine.t("items").read().collect()]
+    assert items and all(t.startswith("SEL:Page") for t in items)
+    # selector-extracted links actually drove the crawl beyond the seeds
+    assert sp.engine.t("docs").read().count() > 2
