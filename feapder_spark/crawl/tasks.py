@@ -47,25 +47,59 @@ def roll_done(progress: dict) -> bool:
 
 
 class TaskManager:
-    def __init__(self, spark: SparkSession, store: SnapshotStore, table: str = "tasks"):
+    """Task table in bucket-partitioned mode: rows live in ``id % n_buckets``
+    partitions, and every state transition rewrites ONLY the partitions
+    containing matched rows (SnapshotTable.commit_partitions = Iceberg
+    dynamic partition overwrite) — a 10k-row claim against a 10^8-row table
+    moves O(10k-rows'-buckets), not O(table).  The MERGE join itself
+    (operators/merge.merge_update) broadcasts the ≤10k-row source, matching
+    the reference's 10k claim chunks (task_spider.py:363-396)."""
+
+    def __init__(self, spark: SparkSession, store: SnapshotStore, table: str = "tasks",
+                 n_buckets: int = 16):
         self.spark = spark
         self.store = store
+        self.n_buckets = n_buckets
         self.table = store.table(table)
         if not self.table.exists():
             self.table.create_empty(TASKS_DDL)
 
-    def add_tasks(self, rows: list[tuple]) -> None:
-        self.table.commit(self.spark.createDataFrame(rows, TASKS_DDL), mode="append")
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket", F.pmod(F.col("id"), F.lit(self.n_buckets)).cast("int")
+        )
 
     def read(self) -> DataFrame:
-        return self.table.read()
+        return self.table.read().drop("bucket")
+
+    def _read_buckets(self, keys) -> DataFrame:
+        if not (self.table.manifest().partitions or {}):
+            return self.read()
+        return self.table.read_partitions(keys).drop("bucket")
+
+    def _commit_buckets(self, df: DataFrame) -> None:
+        self.table.commit_partitions(self._with_bucket(df), "bucket")
+
+    def _touched(self, df: DataFrame) -> list[int]:
+        return [
+            r.b
+            for r in df.select(
+                F.pmod(F.col("id"), F.lit(self.n_buckets)).cast("int").alias("b")
+            ).distinct().collect()
+        ]
+
+    def add_tasks(self, rows: list[tuple]) -> None:
+        new = self.spark.createDataFrame(rows, TASKS_DDL)
+        touched = sorted({int(r[0]) % self.n_buckets for r in rows})
+        existing = self._read_buckets(touched)
+        self._commit_buckets(existing.unionByName(new))
 
     # -- claim / recover -----------------------------------------------------
     def claim_batch(self, limit: int = 10_000, condition=None) -> DataFrame:
-        """Claim ≤limit todo tasks: select + state 0→2 in one snapshot
-        commit; returns the claimed rows (task_spider.py:363-396)."""
-        tasks = self.read()
-        todo = tasks.filter(F.col("state") == TODO)
+        """Claim ≤limit todo tasks: select + state 0→2 committed as a
+        partition-pruned rewrite of only the claimed rows' buckets
+        (task_spider.py:363-396)."""
+        todo = self.read().filter(F.col("state") == TODO)
         if condition is not None:
             todo = todo.filter(condition)
         claimed = todo.orderBy("id").limit(limit).persist()
@@ -73,11 +107,16 @@ class TaskManager:
         if n == 0:
             claimed.unpersist()
             return claimed
-        updated = merge_update(
-            tasks, claimed.select("id").withColumn("state", F.lit(CLAIMED)), ["id"], ["state"]
-        )
-        self.table.commit(updated, mode="overwrite")
+        self._merge_state(claimed.select("id"), CLAIMED)
         return claimed
+
+    def _merge_state(self, ids_df: DataFrame, state: int) -> None:
+        touched = self._touched(ids_df)
+        subset = self._read_buckets(touched)
+        updated = merge_update(
+            subset, ids_df.withColumn("state", F.lit(state)), ["id"], ["state"]
+        )
+        self._commit_buckets(updated)
 
     def lost_tasks(self, limit: int = 10_000) -> DataFrame:
         """Tasks stuck in claimed state (task_spider.py:398-418)."""
@@ -85,30 +124,27 @@ class TaskManager:
 
     def reset_lost(self) -> int:
         """Bulk 2→0 reset (batch_spider.py:536-549); returns #reset."""
-        tasks = self.read()
-        lost = tasks.filter(F.col("state") == CLAIMED).select("id").persist()
+        lost = self.read().filter(F.col("state") == CLAIMED).select("id").persist()
         n = lost.count()
         if n:
-            updated = merge_update(
-                tasks, lost.withColumn("state", F.lit(TODO)), ["id"], ["state"]
-            )
-            self.table.commit(updated, mode="overwrite")
+            self._merge_state(lost, TODO)
         lost.unpersist()
         return n
 
     # -- writeback (update_task_batch → UpdateItem → MERGE, K5) ---------------
     def update_state(self, ids: list[int], state: int) -> None:
-        src = self.spark.createDataFrame([(i, state) for i in ids], "id INT, state INT")
-        self.table.commit(merge_update(self.read(), src, ["id"], ["state"]), mode="overwrite")
+        src = self.spark.createDataFrame([(i,) for i in ids], "id INT")
+        self._merge_state(src, state)
 
     def init_task(self) -> None:
         """New-batch reset: every non-failed task back to todo
-        (batch_spider.py:595-608: UPDATE state=0 WHERE state != -1)."""
+        (batch_spider.py:595-608: UPDATE state=0 WHERE state != -1) — a
+        whole-table transition, so every partition legitimately rewrites."""
         tasks = self.read()
         updated = tasks.withColumn(
             "state", F.when(F.col("state") != FAILED, F.lit(TODO)).otherwise(F.col("state"))
         )
-        self.table.commit(updated, mode="overwrite")
+        self._commit_buckets(updated)
 
     # -- rollups ---------------------------------------------------------------
     def rollup(self) -> dict:

@@ -121,3 +121,33 @@ def test_item_save_dedup_and_update(spark, store):
     it.update_items(spark.createDataFrame([(1, "T1-new"), (3, "t3")], "id INT, title STRING"))
     rows = {r.id: r.title for r in it.read().collect()}
     assert rows[1] == "T1-new" and rows[3] == "t3" and 2 in rows
+
+
+def test_task_transitions_rewrite_only_touched_buckets(spark, tmp_path):
+    """VERDICT r1 scale item: a claim against a big task table must rewrite
+    only the claimed rows' buckets (dynamic partition overwrite), never the
+    whole table."""
+    from feapder_spark.store import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "wh"))
+    tm = TaskManager(spark, store, n_buckets=8)
+    tm.add_tasks([(i, f"u{i}", 0, "P") for i in range(1, 801)])  # all 8 buckets
+    before = dict(tm.table.manifest().partitions)
+    assert len(before) == 8
+
+    # claim 10 tasks: ids 1..10 → buckets {1..10 % 8} = {0..7}\... ids 1-10 → buckets 1,2,...,7,0,1,2
+    claimed = tm.claim_batch(limit=10)
+    assert claimed.count() == 10
+    after = dict(tm.table.manifest().partitions)
+    changed = {k for k in after if after[k] != before[k]}
+    expected = {str(i % 8) for i in range(1, 11)}
+    assert changed == expected  # untouched buckets carry the old dirs
+
+    # a single-id state writeback touches exactly one bucket
+    before2 = after
+    tm.update_state([16], 1)
+    after2 = dict(tm.table.manifest().partitions)
+    assert {k for k in after2 if after2[k] != before2[k]} == {"0"}
+    # correctness: full view reflects the transitions
+    states = {r.id: r.state for r in tm.read().collect()}
+    assert states[16] == 1 and states[1] == 2 and states[700] == 0
