@@ -764,6 +764,46 @@ def ann_verified_neardups(spark, sf_dir):
     return SIM.bucketed_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45, n_bits=4)
 
 
+@register(
+    "frontier_delta_visibility",
+    """
+    WITH adds AS (
+      SELECT l_orderkey AS fingerprint, l_linenumber AS retry_times,
+             CAST(l_suppkey % 5 AS INTEGER) AS added_iteration
+      FROM lineitem),
+    tombs AS (
+      SELECT o_orderkey AS fingerprint, 1 AS retry_times,
+             CAST(o_custkey % 5 AS INTEGER) AS added_iteration
+      FROM orders WHERE o_orderstatus = 'F')
+    SELECT a.fingerprint, a.retry_times, a.added_iteration
+    FROM adds a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM tombs t
+      WHERE t.fingerprint = a.fingerprint AND t.retry_times = a.retry_times
+        AND t.added_iteration = a.added_iteration)
+    """,
+)
+def frontier_delta_visibility(spark, sf_dir):
+    """The frontier delta-log read (engine._read_frontier): visible rows =
+    adds ⟕anti tombstones on the (fingerprint, retry_times, added_iteration)
+    row-version key — the O(batch)-write frontier's core operator."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    adds = li.select(
+        F.col("l_orderkey").alias("fingerprint"),
+        F.col("l_linenumber").alias("retry_times"),
+        (F.col("l_suppkey") % 5).cast("int").alias("added_iteration"),
+    )
+    tombs = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("fingerprint"),
+        F.lit(1).alias("retry_times"),
+        (F.col("o_custkey") % 5).cast("int").alias("added_iteration"),
+    )
+    return adds.join(
+        tombs, on=["fingerprint", "retry_times", "added_iteration"], how="left_anti"
+    )
+
+
 def _band_sql(t: int, n_bits: int = 4) -> str:
     return " + ".join(
         f"(CASE WHEN emb[{t * n_bits + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"

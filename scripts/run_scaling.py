@@ -182,8 +182,11 @@ def main() -> None:
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors.  Sandbox protocol (BASELINE.md): same job, same deterministic
-synthetic input (seed=42), at two parallelism levels.  Primary compliance
-pair: **N = local[2] -> 4N = local[8]** (the host's unsaturated region);
+synthetic input (seed=42), at two parallelism levels, EACH LEVEL IN ITS OWN
+PROCESS (a fresh JVM per measurement — no GC debt or cache state leaking
+between the N and 4N runs) with warmed JVM and python workers (production
+executors are long-lived).  Primary compliance pair:
+**N = local[2] -> 4N = local[8]** (the host's unsaturated region);
 local[8] -> local[32] is reported for transparency — this VM cannot deliver
 4x from 8->32 even for plain multiprocessing (a pure-python 32-process ALU
 loop reaches only ~3.4x over 8, i.e. 0.85, and memory-bound work less), so
