@@ -215,6 +215,12 @@ class CrawlEngine:
         self._buckets = (
             TokenBuckets(tb["rate"], tb["burst"], tb.get("hosts")) if tb else None
         )
+        if self.cfg.seen_set == "bloom" and (
+            self.cfg.seen_ttl_iterations is not None or self.cfg.seen_ttl_seconds is not None
+        ):
+            # the reference offers BloomFilter XOR ExpireFilter for the same
+            # reason: bloom bits cannot expire (dedup/__init__.py)
+            raise ValueError("seen-set TTL requires seen_set='exact' (Bloom bits cannot expire)")
         self._bloom = (
             BloomSeenSet(
                 num_buckets=self.cfg.bloom_buckets,
@@ -806,6 +812,13 @@ class CrawlEngine:
         if self.tombstone_rows >= max(self.cfg.compact_min_tombstones, self.frontier_size):
             self.compact_frontier()
         return st
+
+    def expire_snapshots(self, keep_checkpoints: int = 2) -> dict:
+        """Storage GC (Iceberg expire_snapshots parity): drop table versions
+        and data segments outside the resume window — see
+        SnapshotStore.expire_snapshots.  Run between iterations (maintenance,
+        like compact_frontier)."""
+        return self.store.expire_snapshots(keep_checkpoints=keep_checkpoints)
 
     def compact_frontier(self) -> None:
         """Fold the tombstone delta log back into the adds table: adds :=

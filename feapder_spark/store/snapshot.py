@@ -296,6 +296,65 @@ class SnapshotStore:
                     out.append(json.load(f))
         return out
 
+    def expire_snapshots(self, keep_checkpoints: int = 2) -> dict:
+        """Storage GC — Iceberg's ``expire_snapshots`` on the parquet store.
+
+        Snapshot tables only ever ADD segment dirs; without expiry a long
+        crawl's storage grows with every commit even though only the recent
+        versions are reachable.  This retains every table version referenced
+        by the last ``keep_checkpoints`` complete checkpoints (the resume
+        window) plus each table's current version, deletes older manifests,
+        and removes segment/partition dirs no retained manifest references.
+        Returns {"versions_deleted": n, "segments_deleted": m}.
+        """
+        import shutil
+
+        ckpts = self.list_checkpoints()
+        retained_ckpts = ckpts[-keep_checkpoints:] if keep_checkpoints > 0 else []
+        keep: dict[str, set[int]] = {}
+        for ck in retained_ckpts:
+            for name, version in ck["versions"].items():
+                if version >= 0:
+                    keep.setdefault(name, set()).add(version)
+        table_names = {
+            n for ck in ckpts for n in ck["versions"]
+        } | set(self._tables)
+        stats = {"versions_deleted": 0, "segments_deleted": 0}
+        for name in sorted(table_names):
+            t = self.table(name)
+            cur = t.current_version()
+            if cur < 0:
+                continue
+            retained = keep.get(name, set()) | {cur}
+            # referenced data dirs across retained manifests
+            referenced: set[str] = set()
+            for v in retained:
+                m = t.manifest(v)
+                if m is None:
+                    continue
+                referenced.update(s.split("/")[0] for s in m.segments)
+                referenced.update(p.split("/")[0] for p in (m.partitions or {}).values())
+            vdir = os.path.join(t.root, "_versions")
+            for f in os.listdir(vdir):
+                v = int(f.split(".")[0])
+                if v not in retained:
+                    os.unlink(os.path.join(vdir, f))
+                    stats["versions_deleted"] += 1
+            ddir = os.path.join(t.root, "data")
+            for seg in os.listdir(ddir):
+                if seg not in referenced:
+                    shutil.rmtree(os.path.join(ddir, seg), ignore_errors=True)
+                    stats["segments_deleted"] += 1
+        # drop checkpoint files older than the retention window
+        if retained_ckpts:
+            oldest_kept = retained_ckpts[0]["seq"]
+            for ck in ckpts:
+                if ck["seq"] < oldest_kept:
+                    path = os.path.join(self._ckpt_dir, f"{ck['seq']:08d}.json")
+                    if os.path.exists(path):
+                        os.unlink(path)
+        return stats
+
     def restore_last_checkpoint(self) -> dict | None:
         """Roll every table back to the last complete checkpoint (resume)."""
         ckpt = self.last_checkpoint()

@@ -41,3 +41,39 @@ def test_bloom_engine_matches_oracle(spark, tmp_path):
     assert man.partitions
     segments_referenced = {p.split("/")[0] for p in man.partitions.values()}
     assert len(segments_referenced) > 1
+
+
+def test_bloom_with_politeness_matches_oracle(spark, tmp_path):
+    """The scale seen-set composed with the politeness gate must still replay
+    the oracle exactly (bloom membership is behaviorally exact at P=1e-5)."""
+    web = SyntheticWeb(n_hosts=5, pages_per_host=4, seed=42)
+    seeds = web.seeds(5)
+    pol = {"__default__": 2, "host-0.test": 1}
+    golden = run_oracle(web, seeds, batch_size=16, politeness=pol, max_iterations=40)
+    cfg = CrawlConfig(
+        batch_size=16, politeness=pol, seen_set="bloom",
+        bloom_buckets=8, bloom_capacity_per_bucket=10_000,
+    )
+    engine = CrawlEngine(spark, str(tmp_path / "wh"), web, cfg)
+    engine.seed(seeds)
+    engine.run(max_iterations=40)
+    order = [
+        r.fingerprint
+        for r in engine.t("crawl_order").read().orderBy("seq").select("fingerprint").collect()
+    ]
+    assert order == golden.crawl_order
+    docs = {r.doc_id for r in engine.t("docs").read().select("doc_id").collect()}
+    assert docs == set(golden.docs.keys())
+
+
+def test_bloom_rejects_ttl_config(spark, tmp_path):
+    """Bloom bits cannot expire — the reference pairs BloomFilter XOR
+    ExpireFilter the same way; the engine must refuse the combination."""
+    import pytest
+
+    web = SyntheticWeb(n_hosts=2, pages_per_host=2, seed=42)
+    with pytest.raises(ValueError, match="TTL"):
+        CrawlEngine(
+            spark, str(tmp_path / "wh"), web,
+            CrawlConfig(seen_set="bloom", seen_ttl_iterations=5),
+        )
