@@ -679,6 +679,9 @@ class CrawlEngine:
             "title",
             "n_spans",
         ).withColumn("item_fp", item_fp_col())
+        # the anti-join reads only the item_fp column (parquet pruning); at
+        # 10^10 items both sides bucket by item_fp on Iceberg so this is a
+        # storage-partitioned join — same seam as the exact seen set
         items_new = item_rows.join(
             self.t("items").read().select("item_fp"), on="item_fp", how="left_anti"
         ).select("item_fp", "doc_id", "url", "title", "n_spans")
