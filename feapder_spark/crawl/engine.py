@@ -142,6 +142,16 @@ class CrawlConfig:
     # driver-side blob-partition pruning engages above this partition count
     # (below it, scanning the whole small table beats an extra driver job)
     bloom_prune_read_min_partitions: int = 256
+    # item-fingerprint bucketing: items append hive-partitioned by
+    # pmod(xxhash64(item_fp), items_buckets) so the per-iteration dedup
+    # anti-join reads ONLY the batch's buckets (the reference's item dedup is
+    # an O(batch) Redis check, item_buffer.py:180-217 — this matches its
+    # I/O bound at 10^10 items).  At scale size buckets so one bucket's
+    # fingerprint column ~ a few hundred MB (10^10 items → ~4096 buckets).
+    items_buckets: int = 64
+    # pruned read engages above this many leaf partition dirs (below it the
+    # whole-table scan beats the extra driver job computing touched buckets)
+    items_prune_min_leaf_parts: int = 64
     # S8/J4: reuse previously-fetched 200 responses from the fetch_cache
     # table (request.py:498-532 response-cache semantics, TTL = table prune)
     use_fetch_cache: bool = False
@@ -309,7 +319,8 @@ class CrawlEngine:
         )
         if self.cfg.respect_robots:
             cands = self._apply_robots(cands)
-        new_rows, seen_commit, _obs = self._claim_new(cands)
+        # the frontier is empty here (checked above), so stale_tombs is empty
+        new_rows, seen_commit, _obs, _stale = self._claim_new(cands)
         n_seeded = new_rows.count()
         self.frontier_size = n_seeded
         self.t("frontier").commit(self._sized(new_rows, n_seeded), mode="append")
@@ -373,14 +384,24 @@ class CrawlEngine:
         )
         if self.cfg.respect_robots:
             cands = self._apply_robots(cands)
-        new_rows, seen_commit, _obs = self._claim_new(cands)
+        new_rows, seen_commit, _obs, stale = self._claim_new(cands)
         n_new = new_rows.count()
+        n_stale = 0
         if n_new:
+            if stale is not None:
+                # TTL re-claims replace their stale visible rows (oracle's
+                # dict-keyed frontier): tombstone BEFORE appending
+                stale = stale.persist()
+                n_stale = stale.count()
+                if n_stale:
+                    self.t("frontier_tombs").commit(stale, mode="append")
+                    self.tombstone_rows += n_stale
+                stale.unpersist()
             self.t("frontier").commit(self._sized(new_rows, n_new), mode="append")
         seen_commit(n_new, self.iteration)  # no-op write at 0; releases caches
         if self._bloom is not None:
             self._bloom.release()
-        self.frontier_size += n_new
+        self.frontier_size += n_new - n_stale
         self.store.checkpoint(self._label(added_requests=n_new), TABLES)
         new_rows.unpersist()
         return n_new
@@ -423,13 +444,20 @@ class CrawlEngine:
     def _claim_new(self, cands):
         """Claim-on-enqueue dedup, exact or Bloom path.
 
-        Returns (new_rows_df_persisted, seen_commit_fn, observation) — the
-        commit fn is run with the iteration's other table commits; the
-        Observation carries count(new_rows) as a free by-product of whichever
-        commit job materializes the frame FIRST (no dedicated count() job —
-        one less fixed-cost Spark job per iteration).  Exact path: anti-join
-        vs the fingerprint table (J1).  Bloom path: cogrouped check+add over
-        the bucketed blobs (only touched buckets move).
+        Returns (new_rows_df_persisted, seen_commit_fn, observation,
+        stale_tombs) — the commit fn is run with the iteration's other table
+        commits; the Observation carries count(new_rows) as a free by-product
+        of whichever commit job materializes the frame FIRST (no dedicated
+        count() job — one less fixed-cost Spark job per iteration).  Exact
+        path: anti-join vs the fingerprint table (J1).  Bloom path: cogrouped
+        check+add over the bucketed blobs (only touched buckets move).
+
+        ``stale_tombs`` (TTL mode only, else None): with an expiring seen set
+        a fingerprint can be RE-claimed while its original frontier row is
+        still visible (politeness-starved, never leased) — the oracle's
+        dict-keyed frontier REPLACES that row on re-claim, so the engine
+        tombstones the stale visible version before appending the new one
+        (otherwise the URL fetches twice and crawl_order diverges).
         """
         obs = Observation()
         if self._bloom is None:
@@ -450,6 +478,20 @@ class CrawlEngine:
                 .observe(obs, F.count(F.lit(1)).alias("n_new"))
                 .persist()
             )
+            stale_tombs = None
+            if (
+                self.cfg.seen_ttl_iterations is not None
+                or self.cfg.seen_ttl_seconds is not None
+            ):
+                # visible rows shadowed by a TTL re-claim; the read paths are
+                # pinned to the pre-iteration snapshot (manifest resolved at
+                # DataFrame construction), so this composes with the
+                # concurrent commits safely.  TTL is an exact-set-only mode,
+                # so the extra frontier read rides the iteration only when
+                # the user opted into expiry.
+                stale_tombs = self._read_frontier().select(
+                    "fingerprint", "retry_times", "added_iteration"
+                ).join(new_rows.select("fingerprint"), on="fingerprint", how="left_semi")
 
             def commit_fn(n_bound, iteration):
                 # n_bound is an upper bound (candidate link count) used only
@@ -466,7 +508,7 @@ class CrawlEngine:
                     mode="append",
                 )
 
-            return new_rows, commit_fn, obs
+            return new_rows, commit_fn, obs, stale_tombs
 
         firsts = (
             mark_in_batch_first(cands, order_cols=("priority", "url"))
@@ -508,7 +550,29 @@ class CrawlEngine:
                 self.t("seen_set").commit_partitions(touched, "bucket")
             firsts.unpersist()
 
-        return new_rows, commit_fn, obs
+        return new_rows, commit_fn, obs, None
+
+    def _item_bucket_col(self) -> F.Column:
+        """Placement bucket for the items table — a pure function of item_fp,
+        recomputed identically by writers and the pruned-read side."""
+        return F.pmod(F.xxhash64("item_fp"), F.lit(self.cfg.items_buckets)).cast("int")
+
+    def _items_seen_side(self, item_rows: DataFrame) -> DataFrame:
+        """Right side of the items-dedup anti-join.  Above the leaf-dir
+        threshold: collect the batch's bucket ids (≤items_buckets tiny ints,
+        over the already-persisted fetched frame) and read only those buckets'
+        dirs — per-iteration items I/O ∝ batch buckets, never O(table).
+        Below it the whole (small) table is cheaper than the extra job."""
+        items_t = self.t("items")
+        if items_t.leaf_partition_count() > self.cfg.items_prune_min_leaf_parts:
+            touched = [
+                r[0]
+                for r in item_rows.select(self._item_bucket_col().alias("b"))
+                .distinct()
+                .collect()
+            ]
+            return items_t.read_partition_subset(touched).select("item_fp")
+        return items_t.read().select("item_fp")
 
     # -- the loop -------------------------------------------------------------
     def run(self, max_iterations: int | None = None) -> list[IterationStats]:
@@ -645,10 +709,18 @@ class CrawlEngine:
             cands = self._apply_robots(cands).observe(
                 kept_obs, F.count(F.lit(1)).alias("n_kept")
             )
-        new_rows, seen_commit, links_obs = self._claim_new(cands)
+        new_rows, seen_commit, links_obs, stale = self._claim_new(cands)
         # links_new is NOT counted here — it arrives via the Observation as a
         # by-product of the commit job that materializes new_rows (one fewer
         # driver job per iteration); until then use links_total as the bound
+        n_stale = 0
+        if stale is not None and links_total > 0:
+            # TTL mode only: count+persist the stale visible rows a re-claim
+            # shadows (bounded by the re-claimed links, usually ~0)
+            stale = stale.persist()
+            n_stale = stale.count()
+            if n_stale == 0:
+                stale.unpersist()
 
         # --- retry / failed routing ---
         failures = fetched.filter(not_ok)
@@ -679,11 +751,12 @@ class CrawlEngine:
             "title",
             "n_spans",
         ).withColumn("item_fp", item_fp_col())
-        # the anti-join reads only the item_fp column (parquet pruning); at
-        # 10^10 items both sides bucket by item_fp on Iceberg so this is a
-        # storage-partitioned join — same seam as the exact seen set
+        # bucket-pruned dedup: the anti-join's right side reads ONLY the
+        # batch's item_fp buckets (and only the item_fp column — parquet
+        # projection pruning), so per-iteration read bytes track the batch,
+        # not the accumulated items table
         items_new = item_rows.join(
-            self.t("items").read().select("item_fp"), on="item_fp", how="left_anti"
+            self._items_seen_side(item_rows), on="item_fp", how="left_anti"
         ).select("item_fp", "doc_id", "url", "title", "n_spans")
 
         # --- per-partition lineage metrics ---
@@ -704,7 +777,9 @@ class CrawlEngine:
         # row versions — O(batch) write bytes, never an O(frontier) rewrite
         additions = retries.unionByName(new_rows)
         tombstones = batch.select("fingerprint", "retry_times", "added_iteration")
-        self.tombstone_rows += leased
+        if n_stale:
+            tombstones = tombstones.unionByName(stale)
+        self.tombstone_rows += leased + n_stale
 
         # links_new > 0 requires candidates, i.e. links_total > 0; the
         # additions commit is the job that materializes new_rows and fires
@@ -718,7 +793,9 @@ class CrawlEngine:
                 )
             )
         commits.append(
-            lambda: self.t("frontier_tombs").commit(self._sized(tombstones, leased), mode="append")
+            lambda: self.t("frontier_tombs").commit(
+                self._sized(tombstones, leased + n_stale), mode="append"
+            )
         )
         if fetched_ok > 0:
             commits.append(
@@ -730,7 +807,12 @@ class CrawlEngine:
                 )
             )
             commits.append(
-                lambda: self.t("items").commit(self._sized(items_new, fetched_ok), mode="append")
+                lambda: self.t("items").commit_append_partitioned(
+                    self._sized(items_new, fetched_ok).withColumn(
+                        "ib", self._item_bucket_col()
+                    ),
+                    "ib",
+                )
             )
         if failed_n > 0:
             commits.append(
@@ -789,7 +871,7 @@ class CrawlEngine:
                     links_dropped = links_total - int(kept_obs.get["n_kept"])
                 except Exception:
                     self._obs_fallbacks += 1
-        self.frontier_size = self.frontier_size - leased + retried_n + links_new
+        self.frontier_size = self.frontier_size - leased + retried_n + links_new - n_stale
         st = IterationStats(
             iteration=self.iteration,
             leased=leased,
@@ -808,6 +890,8 @@ class CrawlEngine:
 
         for df in (batch, fetched, new_rows):
             df.unpersist()
+        if n_stale:
+            stale.unpersist()
         if routed_persisted:
             routed.unpersist()
         if accrued is not None:

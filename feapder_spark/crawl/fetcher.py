@@ -262,7 +262,7 @@ def route_failures_hooked(
       supported — route items through a parse hook instead.
     """
     from feapder_spark.crawl.semantics import STATUS_FAILED, failure_route
-    from feapder_spark.urlnorm import canonicalize_url, get_md5, host_of
+    from feapder_spark.urlnorm import canonicalize_url, host_of, request_fingerprint
 
     schema_ddl = failures._jdf.schema().toDDL() + ", route STRING"
 
@@ -284,16 +284,27 @@ def route_failures_hooked(
                         if "url" in res:
                             d["url_canon"] = canonicalize_url(d["url"])
                             d["host"] = host_of(d["url_canon"])
-                            d["fingerprint"] = get_md5(d["url_canon"])
+                            # the row's payload folds into the recomputed
+                            # identity (request.py:465-480) — a url-rewritten
+                            # POST must still dedup against a later re-seed
+                            # of the same url+payload
+                            payload = d.get("payload")
+                            d["fingerprint"] = request_fingerprint(
+                                d["url"],
+                                data=dict(payload) if payload is not None else None,
+                            )
                 if abandoned:
                     d["route"] = STATUS_FAILED
                 else:
                     d["route"] = failure_route(int(d["retry_times"]), max_retries)
+                # increment BEFORE the failed_request hook so a hook-returned
+                # replacement dict (which may set retry_times or fields
+                # derived from it) is never silently overwritten before parking
+                d["retry_times"] = int(d["retry_times"]) + 1
                 if d["route"] == STATUS_FAILED and failed_request is not None:
                     res = failed_request(dict(d))
                     if isinstance(res, dict):
                         d.update(res)
-                d["retry_times"] = int(d["retry_times"]) + 1
                 out_rows.append(d)
             yield pd.DataFrame(out_rows, columns=cols + ["route"])
 

@@ -53,7 +53,13 @@ class TaskManager:
     dynamic partition overwrite) — a 10k-row claim against a 10^8-row table
     moves O(10k-rows'-buckets), not O(table).  The MERGE join itself
     (operators/merge.merge_update) broadcasts the ≤10k-row source, matching
-    the reference's 10k claim chunks (task_spider.py:363-396)."""
+    the reference's 10k claim chunks (task_spider.py:363-396).
+
+    The READ side prunes too: each commit maintains per-bucket todo/claimed
+    counts in the manifest meta (Iceberg partition-stats parity), so
+    ``claim_batch`` opens only buckets with todo>0 and the lost-task scans
+    only buckets with claimed>0 — near the end of a 10^8-task batch the claim
+    reads a handful of dirs, not every bucket."""
 
     def __init__(self, spark: SparkSession, store: SnapshotStore, table: str = "tasks",
                  n_buckets: int = 16):
@@ -78,7 +84,36 @@ class TaskManager:
         return self.table.read_partitions(keys).drop("bucket")
 
     def _commit_buckets(self, df: DataFrame) -> None:
-        self.table.commit_partitions(self._with_bucket(df), "bucket")
+        wb = self._with_bucket(df).persist()
+        # per-bucket state counts ride the commit (≤n_buckets tiny rows, over
+        # the frame the write is about to materialize anyway); untouched
+        # buckets carry their previous counts forward
+        counts = {
+            str(r.bucket): [int(r.todo), int(r.claimed)]
+            for r in wb.groupBy("bucket").agg(
+                F.sum((F.col("state") == TODO).cast("long")).alias("todo"),
+                F.sum((F.col("state") == CLAIMED).cast("long")).alias("claimed"),
+            ).collect()
+        }
+        prev = self.table.manifest()
+        merged = dict((prev.meta or {}).get("state_counts", {})) if prev else {}
+        merged.update(counts)
+        self.table.commit_partitions(wb, "bucket", meta={"state_counts": merged})
+        wb.unpersist()
+
+    def _buckets_in_state(self, idx: int) -> list[int] | None:
+        """Buckets whose manifest stats show rows in the given state slot
+        (0=todo, 1=claimed); None = no stats recorded (read everything)."""
+        m = self.table.manifest()
+        sc = (m.meta or {}).get("state_counts") if m else None
+        if sc is None:
+            return None
+        return [int(b) for b, c in sc.items() if c[idx] > 0]
+
+    def _state_frame(self, state: int, idx: int) -> DataFrame:
+        keys = self._buckets_in_state(idx)
+        base = self.read() if keys is None else self._read_buckets(keys)
+        return base.filter(F.col("state") == state)
 
     def _touched(self, df: DataFrame) -> list[int]:
         return [
@@ -96,10 +131,10 @@ class TaskManager:
 
     # -- claim / recover -----------------------------------------------------
     def claim_batch(self, limit: int = 10_000, condition=None) -> DataFrame:
-        """Claim ≤limit todo tasks: select + state 0→2 committed as a
-        partition-pruned rewrite of only the claimed rows' buckets
-        (task_spider.py:363-396)."""
-        todo = self.read().filter(F.col("state") == TODO)
+        """Claim ≤limit todo tasks: select + state 0→2, BOTH sides pruned —
+        the scan opens only buckets with todo>0 (manifest stats), the commit
+        rewrites only the claimed rows' buckets (task_spider.py:363-396)."""
+        todo = self._state_frame(TODO, 0)
         if condition is not None:
             todo = todo.filter(condition)
         claimed = todo.orderBy("id").limit(limit).persist()
@@ -119,12 +154,13 @@ class TaskManager:
         self._commit_buckets(updated)
 
     def lost_tasks(self, limit: int = 10_000) -> DataFrame:
-        """Tasks stuck in claimed state (task_spider.py:398-418)."""
-        return self.read().filter(F.col("state") == CLAIMED).orderBy("id").limit(limit)
+        """Tasks stuck in claimed state (task_spider.py:398-418); reads only
+        buckets with claimed>0."""
+        return self._state_frame(CLAIMED, 1).orderBy("id").limit(limit)
 
     def reset_lost(self) -> int:
         """Bulk 2→0 reset (batch_spider.py:536-549); returns #reset."""
-        lost = self.read().filter(F.col("state") == CLAIMED).select("id").persist()
+        lost = self._state_frame(CLAIMED, 1).select("id").persist()
         n = lost.count()
         if n:
             self._merge_state(lost, TODO)

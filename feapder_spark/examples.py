@@ -97,6 +97,16 @@ def tag_failed_request(req):
     return {"priority": 999}
 
 
+def link_to_starved_parse(url_canon, html):
+    """Every page emits one link to a politeness-starved page — the TTL
+    re-claim scenario (ADVICE r2: an expired claim whose original frontier
+    row is still visible must be replaced, not duplicated)."""
+    from feapder_spark.crawl import html as H
+
+    spans, _links, title = H.parse_document(url_canon, html)
+    return spans, ["http://host-1.test/page-0"], title
+
+
 def none_title_parse(url_canon, html):
     """Parse hook returning title=None — exercises str(None) fingerprint
     semantics (item.py:141-153) through the JVM item_fp path."""

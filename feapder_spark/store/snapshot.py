@@ -53,6 +53,13 @@ class Manifest:
     # parquet stand-in for Iceberg's dynamic partition overwrite: a commit
     # replaces only the partitions present in the written frame.
     partitions: dict | None = None
+    # partitioned-APPEND segments (commit_append_partitioned): segment name →
+    # {partition key (string) → leaf dir under data/}.  The segment still
+    # appears in ``segments`` (append semantics, GC by top-level dir); this
+    # map lets readers prune the scan to a key subset across every appended
+    # segment — the parquet stand-in for Iceberg manifest-level partition
+    # pruning on an append-only table.
+    seg_parts: dict | None = None
 
     def to_json(self) -> str:
         d = {
@@ -63,6 +70,8 @@ class Manifest:
         }
         if self.partitions is not None:
             d["partitions"] = self.partitions
+        if self.seg_parts is not None:
+            d["seg_parts"] = self.seg_parts
         return json.dumps(d, indent=1)
 
     @staticmethod
@@ -70,7 +79,7 @@ class Manifest:
         d = json.loads(text)
         return Manifest(
             d["version"], d["schema_ddl"], d["segments"], d.get("meta", {}),
-            d.get("partitions"),
+            d.get("partitions"), d.get("seg_parts"),
         )
 
 
@@ -121,6 +130,23 @@ class SnapshotTable:
         return self.current_version() >= 0
 
     # -- read --------------------------------------------------------------
+    def _segment_paths(self, m: Manifest, keys=None) -> list[str]:
+        """Leaf data dirs for the manifest's segments.  ``keys`` (stringified
+        partition keys) prunes partitioned-append segments to that subset;
+        legacy unpartitioned segments are always included whole (unprunable)."""
+        sp = m.seg_parts or {}
+        key_set = None if keys is None else {str(k) for k in keys}
+        paths = []
+        for s in m.segments:
+            parts = sp.get(s)
+            if parts is None:
+                paths.append(os.path.join(self.root, "data", s))
+            else:
+                for k, rel in parts.items():
+                    if key_set is None or k in key_set:
+                        paths.append(os.path.join(self.root, "data", rel))
+        return paths
+
     def read(self, version: int | None = None) -> DataFrame:
         m = self.manifest(version)
         if m is None:
@@ -128,9 +154,9 @@ class SnapshotTable:
         if m.partitions:
             paths = [os.path.join(self.root, "data", p) for p in m.partitions.values()]
             return self.spark.read.schema(m.schema_ddl).parquet(*paths)
-        if not m.segments:
+        paths = self._segment_paths(m)
+        if not paths:
             return self.spark.createDataFrame([], m.schema_ddl)
-        paths = [os.path.join(self.root, "data", s) for s in m.segments]
         return self.spark.read.schema(m.schema_ddl).parquet(*paths)
 
     def read_partitions(self, keys, version: int | None = None) -> DataFrame:
@@ -149,6 +175,37 @@ class SnapshotTable:
         if not paths:
             return self.spark.createDataFrame([], m.schema_ddl)
         return self.spark.read.schema(m.schema_ddl).parquet(*paths)
+
+    def read_partition_subset(self, keys, version: int | None = None) -> DataFrame:
+        """Partition-pruned read of an APPEND-mode table whose segments were
+        committed with :meth:`commit_append_partitioned`: only the listed
+        keys' leaf dirs are scanned, across every appended segment.  Legacy
+        unpartitioned segments (committed before the table adopted bucketing)
+        are read whole — correct, just unpruned.  This is the items-dedup
+        scale path: an anti-join right side bounded by the batch's buckets,
+        never the whole table."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"table {self.name} has no committed snapshot")
+        if m.partitions:
+            return self.read_partitions(keys, version)
+        paths = self._segment_paths(m, keys=keys)
+        if not paths:
+            return self.spark.createDataFrame([], m.schema_ddl)
+        return self.spark.read.schema(m.schema_ddl).parquet(*paths)
+
+    def leaf_partition_count(self) -> int:
+        """Total leaf partition dirs across appended segments (driver-side,
+        manifest-only) — the pruning-worthiness signal: below a threshold,
+        scanning the whole small table beats the extra driver job that
+        computes the touched-key list."""
+        m = self.manifest()
+        if m is None:
+            return 0
+        if m.partitions:
+            return len(m.partitions)
+        sp = m.seg_parts or {}
+        return sum(len(sp.get(s, {})) or 1 for s in m.segments)
 
     # -- write -------------------------------------------------------------
     def commit(
@@ -174,6 +231,14 @@ class SnapshotTable:
             writer.parquet(seg_path)
             schema_ddl = df._jdf.schema().toDDL()
             if mode == "append":
+                if prev and prev.partitions:
+                    # an append manifest has no partition map, so it would
+                    # silently drop every partition-mode row — same hazard as
+                    # commit_partitions on a segment table, other direction
+                    raise ValueError(
+                        f"table {self.name} is in partition mode; "
+                        "append via commit_partitions, not commit(mode='append')"
+                    )
                 segments = (prev.segments if prev else []) + [seg]
             elif mode == "overwrite":
                 segments = [seg]
@@ -183,7 +248,55 @@ class SnapshotTable:
             if prev is None:
                 raise ValueError("metadata-only commit on uncommitted table")
             schema_ddl, segments = prev.schema_ddl, prev.segments
-        man = Manifest(version, schema_ddl, segments, meta or {})
+        # append/metadata commits carry the prior seg_parts pruning maps
+        # forward (their segments are still listed); overwrite drops them
+        keep_prev = prev is not None and (df is None or mode == "append")
+        man = Manifest(
+            version, schema_ddl, segments, meta or {},
+            prev.partitions if (df is None and prev) else None,
+            prev.seg_parts if keep_prev else None,
+        )
+        _atomic_write(os.path.join(self.root, "_versions", f"{version}.json"), man.to_json())
+        _atomic_write(self._pointer, str(version))
+        return version
+
+    def commit_append_partitioned(
+        self, df: DataFrame, partition_col: str, meta: dict | None = None
+    ) -> int:
+        """Append one segment hive-partitioned by ``partition_col`` and record
+        its per-key leaf dirs in the manifest, so later reads can prune to a
+        key subset (:meth:`read_partition_subset`) — Iceberg append +
+        manifest partition stats on plain parquet.
+
+        ``partition_col`` is a PLACEMENT column only: it is dropped from the
+        table schema (derive it from a data column, e.g.
+        ``pmod(xxhash64(item_fp), B)``, so readers recompute it for free).
+        Write bytes are O(df) — append semantics, nothing rewrites.
+        """
+        prev = self.manifest()
+        version = (prev.version + 1) if prev else 0
+        if prev and prev.partitions:
+            raise ValueError(
+                f"table {self.name} is in partition-overwrite mode; "
+                "use commit_partitions"
+            )
+        seg = f"v{version}-{uuid.uuid4().hex[:8]}"
+        seg_path = os.path.join(self.root, "data", seg)
+        from pyspark.sql import functions as F
+
+        schema_ddl = df.drop(partition_col)._jdf.schema().toDDL()
+        df.withColumn("pb", F.col(partition_col).cast("string")).drop(
+            partition_col
+        ).write.mode("overwrite").partitionBy("pb").parquet(seg_path)
+        written = {
+            d.split("=", 1)[1]: f"{seg}/{d}"
+            for d in os.listdir(seg_path)
+            if d.startswith("pb=")
+        }
+        segments = (prev.segments if prev else []) + [seg]
+        seg_parts = dict(prev.seg_parts) if prev and prev.seg_parts else {}
+        seg_parts[seg] = written
+        man = Manifest(version, schema_ddl, segments, meta or {}, None, seg_parts)
         _atomic_write(os.path.join(self.root, "_versions", f"{version}.json"), man.to_json())
         _atomic_write(self._pointer, str(version))
         return version
@@ -215,6 +328,30 @@ class SnapshotTable:
             if d.startswith("pb=")
         }
         partitions = dict((prev.partitions if prev and prev.partitions else {}))
+        if prev and prev.segments:
+            # Migrate legacy segment-mode data (rows committed via commit()
+            # before the table switched to partition mode) into per-key
+            # partitions — without this the first partition-mode commit would
+            # silently drop every segment row (for a seen_set that erases the
+            # dedup state and already-crawled URLs re-crawl).  Keys the new
+            # frame overwrites are excluded (the overwrite wins, matching
+            # dynamic-partition-overwrite semantics).
+            legacy = self.spark.read.schema(prev.schema_ddl).parquet(
+                *self._segment_paths(prev)
+            ).withColumn("pb", F.col(partition_col).cast("string"))
+            if written:
+                legacy = legacy.filter(~F.col("pb").isin(list(written)))
+            mseg = f"v{version}-mig-{uuid.uuid4().hex[:8]}"
+            mseg_path = os.path.join(self.root, "data", mseg)
+            legacy.write.mode("overwrite").partitionBy("pb").parquet(mseg_path)
+            migrated = {
+                d.split("=", 1)[1]: f"{mseg}/{d}"
+                for d in os.listdir(mseg_path)
+                if d.startswith("pb=")
+            }
+            # migrated keys must not shadow keys already in partition mode
+            for k, v in migrated.items():
+                partitions.setdefault(k, v)
         partitions.update(written)
         man = Manifest(version, schema_ddl, [], meta or {}, partitions)
         _atomic_write(os.path.join(self.root, "_versions", f"{version}.json"), man.to_json())
@@ -319,32 +456,41 @@ class SnapshotStore:
         table_names = {
             n for ck in ckpts for n in ck["versions"]
         } | set(self._tables)
-        stats = {"versions_deleted": 0, "segments_deleted": 0}
+        stats = {"versions_deleted": 0, "segments_deleted": 0, "errors": []}
+        import re as _re
+
         for name in sorted(table_names):
-            t = self.table(name)
-            cur = t.current_version()
-            if cur < 0:
-                continue
-            retained = keep.get(name, set()) | {cur}
-            # referenced data dirs across retained manifests
-            referenced: set[str] = set()
-            for v in retained:
-                m = t.manifest(v)
-                if m is None:
+            # one bad table (stray file, torn manifest) must not abort the
+            # sweep midway — record the error and keep GC-ing the others
+            try:
+                t = self.table(name)
+                cur = t.current_version()
+                if cur < 0:
                     continue
-                referenced.update(s.split("/")[0] for s in m.segments)
-                referenced.update(p.split("/")[0] for p in (m.partitions or {}).values())
-            vdir = os.path.join(t.root, "_versions")
-            for f in os.listdir(vdir):
-                v = int(f.split(".")[0])
-                if v not in retained:
-                    os.unlink(os.path.join(vdir, f))
-                    stats["versions_deleted"] += 1
-            ddir = os.path.join(t.root, "data")
-            for seg in os.listdir(ddir):
-                if seg not in referenced:
-                    shutil.rmtree(os.path.join(ddir, seg), ignore_errors=True)
-                    stats["segments_deleted"] += 1
+                retained = keep.get(name, set()) | {cur}
+                # referenced data dirs across retained manifests
+                referenced: set[str] = set()
+                for v in retained:
+                    m = t.manifest(v)
+                    if m is None:
+                        continue
+                    referenced.update(s.split("/")[0] for s in m.segments)
+                    referenced.update(p.split("/")[0] for p in (m.partitions or {}).values())
+                vdir = os.path.join(t.root, "_versions")
+                for f in os.listdir(vdir):
+                    mv = _re.fullmatch(r"(\d+)\.json", f)
+                    if mv is None:
+                        continue  # editor temp / partial write — not a version
+                    if int(mv.group(1)) not in retained:
+                        os.unlink(os.path.join(vdir, f))
+                        stats["versions_deleted"] += 1
+                ddir = os.path.join(t.root, "data")
+                for seg in os.listdir(ddir):
+                    if seg not in referenced:
+                        shutil.rmtree(os.path.join(ddir, seg), ignore_errors=True)
+                        stats["segments_deleted"] += 1
+            except Exception as exc:  # noqa: BLE001
+                stats["errors"].append(f"{name}: {exc}")
         # drop checkpoint files older than the retention window
         if retained_ckpts:
             oldest_kept = retained_ckpts[0]["seq"]
