@@ -50,6 +50,21 @@ class BaseParser:
         return H.parse_document(url_canon, html)
 
 
+def _callbacks_of(obj) -> dict | None:
+    """The per-request callback table of a parser instance: every
+    ``parse_*`` method by name, plus ``parse`` itself — the reference
+    dispatches ``getattr(parser, request.callback)``
+    (parser_control.py:562-570); bound methods of a picklable instance ship
+    to the executors like every other hook."""
+    out = {"parse": obj.parse}
+    for n in dir(type(obj)):
+        if n.startswith("parse_"):
+            m = getattr(obj, n)
+            if callable(m):
+                out[n] = m
+    return out
+
+
 class Spider:
     """Subclass-and-run facade over CrawlEngine."""
 
@@ -87,6 +102,15 @@ class Spider:
 
         return H.parse_document(url_canon, html)
 
+    def start_callback(self):
+        """Fires at each run() entry (Spider begin_callback,
+        core/scheduler.py spider start).  Driver-side."""
+
+    def end_callback(self):
+        """Fires once per crawl completion — when the loop drains the
+        frontier (spider_end/end_callback, core/scheduler.py:460-501); an
+        interrupted run defers it to the resumed run that finishes."""
+
     # -- lifecycle -------------------------------------------------------------
     def add_parser(self, parser) -> None:
         """Register a secondary parser (Spider.add_parser of the reference,
@@ -106,7 +130,7 @@ class Spider:
         for p in getattr(self, "_extra_parsers", []):
             parsers = parsers or {}
             pcls = type(p)
-            spec = {"parse_fn": p.parse}
+            spec = {"parse_fn": p.parse, "callbacks": _callbacks_of(p)}
             if pcls.validate is not BaseParser.validate:
                 spec["validate"] = p.validate
             parsers[p.name] = spec
@@ -121,6 +145,13 @@ class Spider:
             validate=self.validate if overrides_validate else None,
             parse_fn=self.parse if overrides_parse else None,
             parsers=parsers,
+            callbacks=_callbacks_of(self),
+            on_start=(
+                self.start_callback if cls.start_callback is not Spider.start_callback else None
+            ),
+            on_end=(
+                self.end_callback if cls.end_callback is not Spider.end_callback else None
+            ),
         )
 
     def _seeds(self) -> list[dict]:

@@ -64,8 +64,8 @@ from feapder_spark.crawl.items import item_fp_col as _items_fp_col
 from feapder_spark.urlnorm import request_fingerprint
 from feapder_spark.operators.seen_set import (
     BloomSeenSet,
+    dedup_first,
     dedup_new,
-    mark_in_batch_first,
     prune_expired,
 )
 from feapder_spark.store import SnapshotStore
@@ -82,7 +82,8 @@ ITEMS_DDL = "item_fp STRING, doc_id STRING, url STRING, title STRING, n_spans IN
 FAILED_DDL = (
     "fingerprint STRING, url STRING, url_canon STRING, host STRING, "
     "priority INT, parser_name STRING, retry_times INT, status_code INT, "
-    "method STRING, payload MAP<STRING, STRING>"
+    "method STRING, payload MAP<STRING, STRING>, callback STRING, "
+    "auto_request BOOLEAN"
 )
 ORDER_DDL = "seq LONG, iteration INT, fingerprint STRING"
 METRICS_DDL = (
@@ -171,11 +172,17 @@ class CrawlConfig:
     # subclass contract of the reference (base_parser.py:21-123)
     parse_fn: object = None
     # multi-parser dispatch (parser_control.py:85-86, add_parser):
-    # {parser_name: {"parse_fn": fn, "validate": fn}}; each request routes to
-    # the parser matching its parser_name column, falling back to
-    # parse_fn/validate above.  Links emitted as (url, parser_name) pairs
-    # route explicitly; bare links inherit the emitting row's parser.
+    # {parser_name: {"parse_fn": fn, "validate": fn, "callbacks": {...}}};
+    # each request routes to the parser matching its parser_name column,
+    # falling back to parse_fn/validate above.  Links emitted as
+    # (url, parser_name) pairs route explicitly; bare links inherit the
+    # emitting row's parser; (url, parser_or_None, callback) triples add a
+    # per-request callback name.
     parsers: dict | None = None
+    # per-request callback table for the default parser (request.py:248-252
+    # serializes a callback NAME; parser_control.py:562-570 dispatches it) —
+    # {callback_name: fn}; rows with a callback column parse with that fn
+    callbacks: dict | None = None
     # failure hooks (base_parser.py:71-95): exception_request(req_dict) runs
     # on every non-200 row BEFORE retry routing and may return a replacement
     # dict (url/priority/parser_name/payload), False to abandon, or None to
@@ -190,6 +197,13 @@ class CrawlConfig:
     download_midware: object = None
     # explicit hot-domain salting: split one host over up to N executors
     host_salt_splits: int = 1
+    # lifecycle callbacks (scheduler.py:460-501 spider_start/spider_end +
+    # Spider begin_callback/end_callback): on_start fires at each run()
+    # entry; on_end fires ONCE per crawl completion — when the loop observes
+    # the frontier drained (a max_iterations cut does NOT end the crawl; the
+    # resumed run that drains it fires the hook).  Driver-side, no pickling.
+    on_start: object = None
+    on_end: object = None
 
 
 @dataclass
@@ -301,13 +315,15 @@ class CrawlEngine:
                 (
                     s["url"], int(s.get("priority", S.DEFAULT_PRIORITY)),
                     s.get("parser_name", self.cfg.default_parser),
-                    s.get("method"), data, fp_pre,
+                    s.get("method"), data, fp_pre, s.get("callback"),
+                    bool(s.get("auto_request", True)),
                 )
             )
         df = self.spark.createDataFrame(
             rows,
             "url STRING, priority INT, parser_name STRING, method STRING, "
-            "payload MAP<STRING, STRING>, fp_pre STRING",
+            "payload MAP<STRING, STRING>, fp_pre STRING, callback STRING, "
+            "auto_request BOOLEAN",
         )
         cands = (
             df.withColumn("url_canon", canonicalize_udf("url"))
@@ -336,6 +352,7 @@ class CrawlEngine:
         return [
             "fingerprint", "url", "url_canon", "host", "priority", "retry_times",
             "parser_name", "status", "added_iteration", "method", "payload",
+            "callback", "auto_request",
         ]
 
     def _label(self, **extra) -> dict:
@@ -366,13 +383,15 @@ class CrawlEngine:
                 (
                     s["url"], int(s.get("priority", S.DEFAULT_PRIORITY)),
                     s.get("parser_name", self.cfg.default_parser),
-                    s.get("method"), data, fp_pre,
+                    s.get("method"), data, fp_pre, s.get("callback"),
+                    bool(s.get("auto_request", True)),
                 )
             )
         df = self.spark.createDataFrame(
             rows,
             "url STRING, priority INT, parser_name STRING, method STRING, "
-            "payload MAP<STRING, STRING>, fp_pre STRING",
+            "payload MAP<STRING, STRING>, fp_pre STRING, callback STRING, "
+            "auto_request BOOLEAN",
         )
         cands = (
             df.withColumn("url_canon", canonicalize_udf("url"))
@@ -510,12 +529,7 @@ class CrawlEngine:
 
             return new_rows, commit_fn, obs, stale_tombs
 
-        firsts = (
-            mark_in_batch_first(cands, order_cols=("priority", "url"))
-            .filter(F.col("is_first_in_batch") == 1)
-            .drop("is_first_in_batch")
-            .persist()
-        )
+        firsts = dedup_first(cands, order_cols=("priority", "url")).persist()
         # driver-side partition pruning: collect the candidates' bucket ids
         # (≤ num_buckets tiny ints) and read ONLY those blob partitions — the
         # untouched ~15 MB blobs are never opened, in Python or the JVM.
@@ -576,13 +590,22 @@ class CrawlEngine:
 
     # -- the loop -------------------------------------------------------------
     def run(self, max_iterations: int | None = None) -> list[IterationStats]:
+        if self.cfg.on_start is not None:
+            self.cfg.on_start()
         stats = []
+        drained = False
         while max_iterations is None or len(stats) < max_iterations:
             st = self._iterate()
             if st is None:
+                drained = True
                 break
             stats.append(st)
         self.flush_metrics()
+        if drained and self.cfg.on_end is not None:
+            # crawl completion (scheduler.py:460-501): fires only when the
+            # frontier actually drained, so an interrupted run defers the
+            # end hook to the resumed run that finishes the crawl
+            self.cfg.on_end()
         return stats
 
     def resume(self) -> dict | None:
@@ -640,6 +663,7 @@ class CrawlEngine:
             host_salt_splits=cfg.host_salt_splits,
             parse_fn=cfg.parse_fn,
             parsers=cfg.parsers,
+            callbacks=cfg.callbacks,
             download_midware=cfg.download_midware,
         ).persist()
         parsed = fetched.filter(F.col("status_code") == 200)
@@ -652,7 +676,10 @@ class CrawlEngine:
         not_ok = F.col("status_code") != 200
         abandoned = F.col("status_code") == S.CODE_ABANDONED
         frow = fetched.agg(
-            F.count(F.lit(1)).alias("leased"),
+            # leased counts batch rows only — request_sync rows are executed
+            # inline (never queued), so they appear in fetched but are not
+            # leases (no tombstone, no crawl_order seq)
+            F.sum((~F.col("inline_sync")).cast("long")).alias("leased"),
             F.sum((~not_ok).cast("long")).alias("ok"),
             F.sum((not_ok & retry_ok & ~abandoned).cast("long")).alias("retried"),
             F.sum((not_ok & (~retry_ok | abandoned)).cast("long")).alias("failed"),
@@ -700,16 +727,26 @@ class CrawlEngine:
             .withColumn("added_iteration", F.lit(self.iteration))
             .withColumn("method", F.lit(None).cast("string"))
             .withColumn("payload", F.lit(None).cast("map<string,string>"))
+            .withColumn("auto_request", F.coalesce(F.col("auto_request"), F.lit(True)))
         )
         kept_obs = None
-        if cfg.respect_robots:
-            # count the robots survivors as a free by-product of the same
-            # commit job, so robots-dropped links stop inflating links_dup
-            kept_obs = Observation()
-            cands = self._apply_robots(cands).observe(
-                kept_obs, F.count(F.lit(1)).alias("n_kept")
-            )
-        new_rows, seen_commit, links_obs, stale = self._claim_new(cands)
+        if links_total > 0:
+            if cfg.respect_robots:
+                # count the robots survivors as a free by-product of the same
+                # commit job, so robots-dropped links stop inflating links_dup
+                kept_obs = Observation()
+                cands = self._apply_robots(cands).observe(
+                    kept_obs, F.count(F.lit(1)).alias("n_kept")
+                )
+            new_rows, seen_commit, links_obs, stale = self._claim_new(cands)
+        else:
+            # zero candidate links: skip the dedup machinery entirely — no
+            # seen read, no Bloom blobs read/cogroup, no seen commit (the
+            # bloom path's fixed per-iteration Arrow cost drops to nothing
+            # on link-less iterations)
+            new_rows = self.spark.createDataFrame([], FR.FRONTIER_DDL).persist()
+            seen_commit = lambda n_bound, iteration: None  # noqa: E731
+            links_obs, stale = None, None
         # links_new is NOT counted here — it arrives via the Observation as a
         # by-product of the commit job that materializes new_rows (one fewer
         # driver job per iteration); until then use links_total as the bound
@@ -741,7 +778,7 @@ class CrawlEngine:
         retries = routed.filter(F.col("route") == S.STATUS_TODO).select(*self._frontier_cols())
         failed_new = routed.filter(F.col("route") == S.STATUS_FAILED).select(
             "fingerprint", "url", "url_canon", "host", "priority", "parser_name",
-            "retry_times", "status_code", "method", "payload",
+            "retry_times", "status_code", "method", "payload", "callback",
         )
 
         # --- items (export-then-commit-fingerprint, item_buffer.py:351-358) ---

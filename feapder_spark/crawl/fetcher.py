@@ -75,7 +75,7 @@ def fetch_batch(batch: DataFrame, resolver, by_host: bool = True) -> DataFrame:
 
 FETCH_PARSE_EXTRA_DDL = (
     "status_code INT, title STRING, n_spans INT, spans_json STRING, "
-    "links_json STRING, stage_partition INT"
+    "links_json STRING, stage_partition INT, inline_sync BOOLEAN"
 )
 
 
@@ -88,6 +88,7 @@ def fetch_parse_batch(
     host_salt_splits: int = 1,
     parse_fn=None,
     parsers: dict | None = None,
+    callbacks: dict | None = None,
     download_midware=None,
 ) -> DataFrame:
     """Fused fetch+parse: ONE Arrow hop per task instead of a chain of
@@ -111,11 +112,21 @@ def fetch_parse_batch(
 
     ``parsers``: multi-parser dispatch (parser_control.py:85-86: each request
     routes to the parser whose name matches its ``parser_name``) — a dict
-    ``{parser_name: {"parse_fn": fn, "validate": fn}}``; rows whose
-    parser_name has no entry fall back to the batch-level hooks.  Each
-    parse_fn may emit links as plain URLs (routed back to the emitting row's
-    parser, the reference's default-callback rule, request.py:100-110) or as
-    ``(url, parser_name)`` pairs (explicit callback routing).
+    ``{parser_name: {"parse_fn": fn, "validate": fn, "callbacks": {...}}}``;
+    rows whose parser_name has no entry fall back to the batch-level hooks.
+    Each parse_fn may emit links as plain URLs (routed back to the emitting
+    row's parser, the reference's default-callback rule, request.py:100-110),
+    ``(url, parser_name)`` pairs (explicit parser routing), or
+    ``(url, parser_name_or_None, callback_name)`` triples.
+
+    ``callbacks``: per-request callback dispatch for the default parser
+    (request.py:248-252 serializes a callback NAME with the request;
+    parser_control.py:562-570 resolves it getattr-style at parse time) —
+    ``{callback_name: fn}``.  A row whose ``callback`` column is set parses
+    with ``parsers[pname]["callbacks"][cb]`` (falling back to this dict);
+    an unresolvable name routes the request to the retry path, mirroring the
+    reference's dispatch AttributeError → exception handling
+    (parser_control.py:555-570).
 
     Rows may carry ``method``/``payload`` columns (TaskSpider per-task
     params, network/request.py:45-81); they are forwarded to the resolver
@@ -141,29 +152,43 @@ def fetch_parse_batch(
     def fp_map(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
+        from feapder_spark.urlnorm import get_md5
+
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         for pdf in it:
             if not len(pdf):
                 continue
+            base_cols = [c for c in pdf.columns if c not in ("cached_status", "cached_content")]
             codes, titles, n_spans_l, spans_l, links_l, contents = [], [], [], [], [], []
-            cached_status = pdf["cached_status"] if use_cache else [None] * len(pdf)
-            cached_content = pdf["cached_content"] if use_cache else [None] * len(pdf)
-            pnames = pdf["parser_name"] if "parser_name" in pdf.columns else [None] * len(pdf)
-            methods = pdf["method"] if "method" in pdf.columns else [None] * len(pdf)
-            payloads = pdf["payload"] if "payload" in pdf.columns else [None] * len(pdf)
-            for url, url_canon, retry, c_status, c_content, pname, method, payload in zip(
-                pdf["url"], pdf["url_canon"], pdf["retry_times"], cached_status,
-                cached_content, pnames, methods, payloads,
-            ):
+            extra_rows: list[dict] = []  # synthesized request_sync rows
+            cur_idx = 0  # current batch row (template for inline rows)
+            inline_depth = 0
+
+            def dispatch(pname, cb):
+                """(parse_fn, validate_fn, cb_missing) for a request."""
                 spec = (parsers or {}).get(pname)
                 row_validate = spec.get("validate", validate) if spec else validate
-                row_parse = spec.get("parse_fn") if spec else None
-                row_parse = row_parse or parse_fn or H.parse_document
+                rp = (spec.get("parse_fn") if spec else None) or parse_fn or H.parse_document
+                missing = False
+                if cb:
+                    # per-request callback dispatch (parser_control.py:562-570)
+                    cb_fns = (spec or {}).get("callbacks") or callbacks or {}
+                    rp = cb_fns.get(cb)
+                    if rp is None:
+                        missing = True  # getattr AttributeError → retry
+                return rp, row_validate, missing
+
+            def handle(url, url_canon, retry, pname, cb, method, data, ar_skip,
+                       c_status, c_content):
+                """Fetch+validate+parse one request.  request_sync links
+                recurse depth-first here (parser_control.py:190-195), landing
+                as extra output rows; returns (status, title, n_spans,
+                spans_json, links_json, cache_content)."""
+                nonlocal inline_depth
+                rp, row_validate, cb_missing = dispatch(pname, cb)
                 from_cache = use_cache and c_status is not None and not pd.isna(c_status)
-                fetch_url, fetch_method, fetch_data = (
-                    url, method, dict(payload) if payload is not None else None
-                )
-                if download_midware is not None and not from_cache:
+                fetch_url, fetch_method, fetch_data = url, method, data
+                if download_midware is not None and not from_cache and not ar_skip:
                     mw = download_midware(
                         {"url": fetch_url, "method": fetch_method, "data": fetch_data}
                     )
@@ -171,7 +196,11 @@ def fetch_parse_batch(
                         fetch_url = mw.get("url", fetch_url)
                         fetch_method = mw.get("method", fetch_method)
                         fetch_data = mw.get("data", fetch_data)
-                if from_cache:
+                if ar_skip:
+                    # auto_request=False: no download, the callback receives
+                    # response=None (parser_control.py:96,162-163)
+                    status, raw = 200, None
+                elif from_cache:
                     status, raw = int(c_status), c_content
                 elif fetch_method is not None or fetch_data is not None:
                     status, raw = resolver.resolve(
@@ -180,35 +209,113 @@ def fetch_parse_batch(
                     )
                 else:
                     status, raw = resolver.resolve(fetch_url, attempt=int(retry))
-                if status == 200 and row_validate is not None:
+                if status == 200 and not ar_skip and row_validate is not None:
                     try:
                         if not row_validate(url, raw):
                             status = CODE_ABANDONED
                     except Exception:
                         status = CODE_VALIDATE_RETRY
-                codes.append(status)
-                if status == 200:
-                    spans, links, title = row_parse(url_canon, raw)
-                    titles.append(title)
-                    n_spans_l.append(len(spans))
-                    spans_l.append(_json.dumps(spans))
-                    out_links = []
-                    for ln in links:
-                        # (url, parser_name) = explicit callback routing;
-                        # bare url inherits the emitting row's parser
-                        lp = pname
-                        if isinstance(ln, (tuple, list)):
+                if status == 200 and cb_missing:
+                    status = CODE_VALIDATE_RETRY
+                if status != 200:
+                    return status, None, 0, None, None, None
+                spans, links, title = rp(url_canon, raw)
+                out_links = []
+                for ln in links:
+                    # bare url inherits the row's parser; (url, parser) pairs
+                    # route explicitly; (url, parser_or_None, callback)
+                    # triples add a callback name; dict form adds
+                    # auto_request / request_sync (request.py:68-70)
+                    lp, lcb, lar, lsync = pname, None, None, False
+                    if isinstance(ln, dict):
+                        lp = ln.get("parser_name") or pname
+                        lcb = ln.get("callback")
+                        lar = ln.get("auto_request")
+                        lsync = bool(ln.get("request_sync"))
+                        ln = ln["url"]
+                    elif isinstance(ln, (tuple, list)):
+                        if len(ln) >= 3:
+                            ln, lp, lcb = ln[0], ln[1], ln[2]
+                        else:
                             ln, lp = ln[0], ln[1]
-                        c = canonicalize_url(ln)
-                        out_links.append({"u": ln, "c": c, "h": host_of(c), "p": lp})
-                    links_l.append(_json.dumps(out_links))
-                    contents.append(None if from_cache else raw)
-                else:
-                    titles.append(None)
-                    n_spans_l.append(0)
-                    spans_l.append(None)
-                    links_l.append(None)
-                    contents.append(None)
+                        if lp is None:
+                            lp = pname
+                    c = canonicalize_url(ln)
+                    if lsync:
+                        if inline_depth >= 20:
+                            raise RecursionError(
+                                "request_sync recursion depth > 20 (cycle?)"
+                            )
+                        inline_depth += 1
+                        try:
+                            run_inline(ln, c, lp, lcb, lar)
+                        finally:
+                            inline_depth -= 1
+                    else:
+                        out_links.append(
+                            {"u": ln, "c": c, "h": host_of(c), "p": lp,
+                             "cb": lcb, "ar": lar}
+                        )
+                return (
+                    status, title, len(spans), _json.dumps(spans),
+                    _json.dumps(out_links),
+                    None if (from_cache or ar_skip) else raw,
+                )
+
+            def run_inline(url, url_canon, pname, cb, ar):
+                """Execute a request_sync link NOW, inside this task
+                (depth-first, parser_control.py:190-195).  Like the
+                reference, it never enters the queue and never claims the
+                seen set; it surfaces as an extra output row (inline_sync)
+                so docs/items/metrics see it and a failure can re-enqueue
+                through the normal retry route."""
+                status, title, n_sp, spans_j, links_j, content = handle(
+                    url, url_canon, 0, pname, cb, None, None, ar is False,
+                    None, None,
+                )
+                row = {c: pdf.iloc[cur_idx][c] for c in base_cols}
+                row.update(
+                    fingerprint=get_md5(url_canon), url=url, url_canon=url_canon,
+                    host=host_of(url_canon), retry_times=0, parser_name=pname,
+                    method=None, payload=None,
+                    status_code=status, title=title, n_spans=n_sp,
+                    spans_json=spans_j, links_json=links_j,
+                    stage_partition=pid, inline_sync=True,
+                )
+                if "callback" in row:
+                    row["callback"] = cb
+                if "auto_request" in row:
+                    row["auto_request"] = ar is not False
+                if use_cache:
+                    row["content"] = content
+                extra_rows.append(row)
+
+            cached_status = pdf["cached_status"] if use_cache else [None] * len(pdf)
+            cached_content = pdf["cached_content"] if use_cache else [None] * len(pdf)
+            pnames = pdf["parser_name"] if "parser_name" in pdf.columns else [None] * len(pdf)
+            methods = pdf["method"] if "method" in pdf.columns else [None] * len(pdf)
+            payloads = pdf["payload"] if "payload" in pdf.columns else [None] * len(pdf)
+            row_cbs = pdf["callback"] if "callback" in pdf.columns else [None] * len(pdf)
+            ars = pdf["auto_request"] if "auto_request" in pdf.columns else [None] * len(pdf)
+            for i, (url, url_canon, retry, c_status, c_content, pname, method, payload, cb, ar) in enumerate(
+                zip(
+                    pdf["url"], pdf["url_canon"], pdf["retry_times"], cached_status,
+                    cached_content, pnames, methods, payloads, row_cbs, ars,
+                )
+            ):
+                cur_idx = i
+                ar_skip = ar is not None and not pd.isna(ar) and not bool(ar)
+                status, title, n_sp, spans_j, links_j, content = handle(
+                    url, url_canon, retry, pname, cb,
+                    method, dict(payload) if payload is not None else None,
+                    ar_skip, c_status, c_content,
+                )
+                codes.append(status)
+                titles.append(title)
+                n_spans_l.append(n_sp)
+                spans_l.append(spans_j)
+                links_l.append(links_j)
+                contents.append(content)
             out = pdf.drop(columns=["cached_status", "cached_content"], errors="ignore").assign(
                 status_code=codes,
                 title=titles,
@@ -216,9 +323,15 @@ def fetch_parse_batch(
                 spans_json=spans_l,
                 links_json=links_l,
                 stage_partition=pid,
+                inline_sync=False,
             )
             if use_cache:
                 out = out.assign(content=contents)
+            if extra_rows:
+                out = pd.concat(
+                    [out, pd.DataFrame(extra_rows, columns=list(out.columns))],
+                    ignore_index=True,
+                )
             yield out
 
     # explicit partition count: AQE's byte-based coalescing would collapse

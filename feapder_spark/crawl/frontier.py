@@ -34,10 +34,16 @@ from feapder_spark.crawl import semantics as S
 # method/payload carry TaskSpider-style per-task request params through the
 # frontier (network/request.py:45-81); the fingerprint covers the body args
 # (request.py:465-480 via urlnorm.request_fingerprint)
+# callback is the reference's per-request callback *name* serialized with the
+# request (request.py:248-252) and dispatched getattr-style at parse time
+# (parser_control.py:562-570) — the list-page→detail-page pattern
+# auto_request=false skips the download: the callback receives response=None
+# (request.py:68-70; parser_control.py:96,162-163); NULL means true
 FRONTIER_DDL = (
     "fingerprint STRING, url STRING, url_canon STRING, host STRING, "
     "priority INT, retry_times INT, parser_name STRING, status STRING, "
-    "added_iteration INT, method STRING, payload MAP<STRING, STRING>"
+    "added_iteration INT, method STRING, payload MAP<STRING, STRING>, "
+    "callback STRING, auto_request BOOLEAN"
 )
 
 
@@ -106,11 +112,18 @@ def take_batch(
 def with_lease_seq(batch: DataFrame, seq_start: int) -> DataFrame:
     """Assign the global lease sequence within the (bounded, ≤k-row) batch.
 
-    The single-partition window is safe here precisely because the batch is
-    bounded by k — this is the one place a global order materializes.
+    No window function: the batch is sorted on the lease order and coalesced
+    to one partition (coalesce concatenates range-sorted partitions in
+    partition order, preserving the global sort), where
+    ``monotonically_increasing_id`` yields the contiguous 0..n-1 row index —
+    pure JVM, no single-partition WindowExec (and no python hop).  Bounded
+    by k like the lease itself; at k beyond executor memory, derive seq from
+    per-range-partition counts + row index instead (the Iceberg-scale path).
     """
-    w = Window.orderBy(*[F.col(c) for c in S.ORDER_COLS])
-    return batch.withColumn("seq", F.row_number().over(w) + F.lit(seq_start) - 1)
+    ordered = batch.orderBy(*[F.col(c) for c in S.ORDER_COLS]).coalesce(1)
+    return ordered.withColumn(
+        "seq", F.monotonically_increasing_id() + F.lit(seq_start)
+    )
 
 
 def route_failures(failures: DataFrame, max_retries: int = S.MAX_RETRIES) -> DataFrame:

@@ -146,7 +146,12 @@ def parse_document(base_url: str, raw_html: str) -> tuple[list[dict], list[str],
     Returns (spans, links, title).  Links are absolute (extraction happens on
     the rewritten html, matching the reference flow where ``response.text``
     is already rewritten when parsers call ``get_urls``).
+
+    ``raw_html`` may be None (auto_request=False: the callback receives
+    response=None, parser_control.py:96,162-163) — an empty document.
     """
+    if raw_html is None:
+        return [], [], None
     html = strip_control_chars(raw_html)
     html = absolutize_links(base_url, html)
     spans = extract_spans(html)

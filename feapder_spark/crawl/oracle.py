@@ -47,13 +47,19 @@ def run_oracle(
     politeness: dict[str, int] | None = None,
     token_bucket: dict | None = None,
     parsers: dict | None = None,
+    callbacks: dict | None = None,
     default_parser: str = "TestParser",
     seen_ttl_iterations: int | None = None,
 ) -> OracleResult:
     """``parsers``: multi-parser dispatch mirror (parser_control.py:85-86) —
-    {parser_name: parse_fn}; rows route by their parser_name, links emitted
-    as (url, parser_name) pairs route explicitly, bare links inherit the
-    emitting row's parser.  Seeds may carry method/data (TaskSpider params);
+    {parser_name: parse_fn} or {parser_name: {"parse": fn, "callbacks":
+    {name: fn}}}; rows route by their parser_name, links emitted as
+    (url, parser_name) pairs route explicitly, bare links inherit the
+    emitting row's parser, (url, parser_or_None, callback) triples carry a
+    per-request callback name (request.py:248-252) dispatched at parse time
+    (parser_control.py:562-570; an unresolvable name follows the dispatch-
+    exception retry path).  ``callbacks`` is the default parser's callback
+    table.  Seeds may carry method/data (TaskSpider params) and callback;
     body args fold into the fingerprint (request.py:465-480)."""
     res = OracleResult()
     # frontier: fingerprint -> row dict
@@ -74,6 +80,8 @@ def run_oracle(
         parser_name: str | None = None,
         method: str | None = None,
         data: dict | None = None,
+        callback: str | None = None,
+        auto_request: bool = True,
     ) -> bool:
         """Returns True when the request was (re)claimed as new."""
         canon = canonicalize_url(url)
@@ -100,8 +108,93 @@ def run_oracle(
             "parser_name": parser_name or default_parser,
             "method": method,
             "data": data,
+            "callback": callback,
+            "auto_request": auto_request,
         }
         return claimed
+
+    def resolve_parse(url, retry_times, parser_name, callback, method, data, auto_request):
+        """(status, parse_fn, raw) — mirrors fetcher.handle's dispatch order:
+        auto_request=False skips the download (response=None,
+        parser_control.py:96,162-163); an unresolvable callback name is a
+        dispatch exception → retry path (parser_control.py:555-570)."""
+        if not auto_request:
+            status, raw = 200, None
+        elif method is not None or data is not None:
+            status, raw = web.resolve(url, attempt=retry_times, method=method or "GET", data=data)
+        else:
+            status, raw = web.resolve(url, attempt=retry_times)
+        spec = (parsers or {}).get(parser_name)
+        if isinstance(spec, dict):
+            base_fn, cb_fns = spec.get("parse"), spec.get("callbacks") or {}
+        else:
+            base_fn, cb_fns = spec, {}
+        fn = base_fn or H.parse_document
+        if status == 200 and callback:
+            fn = cb_fns.get(callback) or (callbacks or {}).get(callback)
+            if fn is None:
+                status = S.CODE_VALIDATE_RETRY
+        return status, fn, raw
+
+    def emit_success(fp, url_canon, fn, raw, parser_name, priority, m):
+        m["fetched_ok"] += 1
+        spans, links, title = fn(url_canon, raw)
+        res.docs[fp] = spans
+        item = {"doc_id": fp, "url": url_canon, "title": title, "n_spans": len(spans)}
+        ifp = S.item_fingerprint(item)
+        if ifp not in res.items:  # item dedup (item_buffer.py:180-217)
+            res.items[ifp] = item
+        process_links(links, parser_name, priority, m)
+
+    def process_links(links, parent_parser, parent_priority, m):
+        for link in links:
+            lp, lcb, lar, lsync = parent_parser, None, True, False
+            if isinstance(link, dict):
+                lp = link.get("parser_name") or parent_parser
+                lcb = link.get("callback")
+                lar = bool(link.get("auto_request", True))
+                lsync = bool(link.get("request_sync"))
+                link = link["url"]
+            elif isinstance(link, (tuple, list)):
+                if len(link) >= 3:
+                    link, lp, lcb = link[0], link[1], link[2]
+                else:
+                    link, lp = link[0], link[1]
+                if lp is None:
+                    lp = parent_parser
+            if lsync:
+                run_inline(link, lp, lcb, lar, parent_priority, m)
+            elif enqueue(
+                link, S.DEFAULT_PRIORITY, parser_name=lp, callback=lcb, auto_request=lar
+            ):
+                m["links_new"] += 1
+            else:
+                m["links_dup"] += 1
+
+    def run_inline(url, parser_name, callback, auto_request, parent_priority, m):
+        """request_sync mirror (parser_control.py:190-195): executed NOW,
+        depth-first, never queued and never claimed in the seen set; its
+        links process recursively; a failure re-enqueues through the normal
+        retry route with the parent's priority (engine parity)."""
+        canon = canonicalize_url(url)
+        fp = get_md5(canon)
+        status, fn, raw = resolve_parse(url, 0, parser_name, callback, None, None, auto_request)
+        if status == 200:
+            emit_success(fp, canon, fn, raw, parser_name, parent_priority, m)
+            return
+        route = S.failure_route(0, max_retries)
+        if route == S.STATUS_FAILED:
+            m["failed"] += 1
+            res.failed.add(fp)
+        else:
+            m["retried"] += 1
+            frontier[fp] = {
+                "fingerprint": fp, "url": url, "url_canon": canon,
+                "host": host_of(url), "priority": parent_priority,
+                "retry_times": 1, "status": S.STATUS_TODO,
+                "parser_name": parser_name, "method": None, "data": None,
+                "callback": callback, "auto_request": auto_request,
+            }
 
     for seed in seeds:
         enqueue(
@@ -110,6 +203,8 @@ def run_oracle(
             parser_name=seed.get("parser_name"),
             method=seed.get("method"),
             data=seed.get("data"),
+            callback=seed.get("callback"),
+            auto_request=bool(seed.get("auto_request", True)),
         )
 
     while True:
@@ -176,31 +271,15 @@ def run_oracle(
              "links_new": 0, "links_dup": 0, "retried": 0, "failed": 0}
         for r in batch:
             res.crawl_order.append(r["fingerprint"])
-            if r["method"] is not None or r["data"] is not None:
-                status, raw = web.resolve(
-                    r["url"], attempt=r["retry_times"],
-                    method=r["method"] or "GET", data=r["data"],
-                )
-            else:
-                status, raw = web.resolve(r["url"], attempt=r["retry_times"])
+            status, fn, raw = resolve_parse(
+                r["url"], r["retry_times"], r["parser_name"], r["callback"],
+                r["method"], r["data"], r.get("auto_request", True),
+            )
             if status == 200:
-                m["fetched_ok"] += 1
-                parse_fn = (parsers or {}).get(r["parser_name"]) or H.parse_document
-                spans, links, title = parse_fn(r["url_canon"], raw)
-                doc_id = r["fingerprint"]
-                res.docs[doc_id] = spans
-                item = {"doc_id": doc_id, "url": r["url_canon"], "title": title, "n_spans": len(spans)}
-                ifp = S.item_fingerprint(item)
-                if ifp not in res.items:  # item dedup (item_buffer.py:180-217)
-                    res.items[ifp] = item
-                for link in links:
-                    link_parser = r["parser_name"]
-                    if isinstance(link, (tuple, list)):
-                        link, link_parser = link[0], link[1]
-                    if enqueue(link, S.DEFAULT_PRIORITY, parser_name=link_parser):
-                        m["links_new"] += 1
-                    else:
-                        m["links_dup"] += 1
+                emit_success(
+                    r["fingerprint"], r["url_canon"], fn, raw,
+                    r["parser_name"], r["priority"], m,
+                )
                 del frontier[r["fingerprint"]]  # ack (zrem)
             else:
                 route = S.failure_route(r["retry_times"], max_retries)

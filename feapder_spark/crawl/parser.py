@@ -100,7 +100,10 @@ def link_candidates(parsed: DataFrame) -> DataFrame:
 
 # -- fused fetch+parse frame (fetcher.fetch_parse_batch) helpers ------------
 
-FUSED_LINKS_DDL = "ARRAY<STRUCT<u: STRING, c: STRING, h: STRING, p: STRING>>"
+FUSED_LINKS_DDL = (
+    "ARRAY<STRUCT<u: STRING, c: STRING, h: STRING, p: STRING, cb: STRING, "
+    "ar: BOOLEAN>>"
+)
 
 
 def docs_from_fused(fused_ok: DataFrame) -> DataFrame:
@@ -115,8 +118,9 @@ def docs_from_fused(fused_ok: DataFrame) -> DataFrame:
 def link_candidates_fused(fused_ok: DataFrame) -> DataFrame:
     """Candidate rows from the fused frame; canonical form came from the
     python stage, fingerprint is the JVM md5.  ``parser_name`` is the
-    per-link callback routing chosen by the emitting parser (bare links
-    inherit the emitting row's parser — request.py:100-110)."""
+    per-link parser routing chosen by the emitting parser (bare links
+    inherit the emitting row's parser — request.py:100-110); ``callback``
+    is the per-request callback name (request.py:248-252)."""
     links = fused_ok.select(F.explode(F.from_json("links_json", FUSED_LINKS_DDL)).alias("l"))
     return links.select(
         F.col("l.u").alias("url"),
@@ -124,4 +128,6 @@ def link_candidates_fused(fused_ok: DataFrame) -> DataFrame:
         F.col("l.h").alias("host"),
         F.md5("l.c").alias("fingerprint"),
         F.col("l.p").alias("parser_name"),
+        F.col("l.cb").alias("callback"),
+        F.col("l.ar").alias("auto_request"),
     )

@@ -72,6 +72,29 @@ class DetailParser(BaseParser):
         return detail_parse(url_canon, html)
 
 
+class CallbackSpider(Spider):
+    """The reference's most common shape — ONE parser class with a list
+    callback and a detail callback, requests carrying the callback NAME
+    (tests/spider/spiders/test_spider.py over request.py:248-252 /
+    parser_control.py:562-570).  Links emitted as (url, None, callback)
+    triples route to ``parse_detail`` within this same spider."""
+
+    start_urls = ["http://host-0.test/page-0", "http://host-1.test/page-0"]
+    batch_size = 16
+
+    def parse(self, url_canon, html):  # list pages (the default callback)
+        from feapder_spark.crawl import html as H
+
+        spans, links, title = H.parse_document(url_canon, html)
+        return spans, [(ln, None, "parse_detail") for ln in links], "CBLIST:" + title
+
+    def parse_detail(self, url_canon, html):  # routed by callback name
+        from feapder_spark.crawl import html as H
+
+        spans, _links, title = H.parse_document(url_canon, html)
+        return spans, [], "CBDETAIL:" + title
+
+
 def mirror_download_midware(req):
     """download_midware example (base_parser.py:32-41): fetch bad-host URLs
     from a mirror; the request identity (fingerprint/url_canon) stays the
@@ -105,6 +128,31 @@ def link_to_starved_parse(url_canon, html):
 
     spans, _links, title = H.parse_document(url_canon, html)
     return spans, ["http://host-1.test/page-0"], title
+
+
+def sync_inline_parse(url_canon, html):
+    """request_sync example (parser_control.py:190-195): page-0 pulls its
+    detail page depth-first within the SAME fused stage — the inline request
+    never enters the frontier and never claims the seen set."""
+    from feapder_spark.crawl import html as H
+
+    spans, _links, title = H.parse_document(url_canon, html)
+    links = []
+    if url_canon.endswith("page-0"):
+        links = [{"url": url_canon.replace("page-0", "page-1"), "request_sync": True}]
+    return spans, links, "SY:" + (title or "")
+
+
+def sync_badlink_parse(url_canon, html):
+    """request_sync link into the always-failing host — the inline failure
+    re-enqueues through the normal retry route."""
+    from feapder_spark.crawl import html as H
+
+    spans, _links, title = H.parse_document(url_canon, html)
+    links = []
+    if url_canon.endswith("page-0"):
+        links = [{"url": "http://host-bad.test/page-0", "request_sync": True}]
+    return spans, links, title
 
 
 def none_title_parse(url_canon, html):

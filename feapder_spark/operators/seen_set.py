@@ -44,6 +44,21 @@ def mark_in_batch_first(df: DataFrame, fp_col: str = FP_COL, order_cols: Iterabl
     return df.withColumn("is_first_in_batch", (F.row_number().over(w) == 1).cast("int"))
 
 
+def dedup_first(
+    df: DataFrame, fp_col: str = FP_COL, order_cols: Iterable[str] = ("priority",)
+) -> DataFrame:
+    """Keep the first row per fingerprint (by ``order_cols``) — the in-batch
+    half of claim-on-enqueue dedup, as a ``min_by`` hash aggregate instead of
+    a row_number window: partial (map-side) aggregation shrinks the shuffle
+    to unique fingerprints and drops the per-partition sort — the cheaper
+    plan at every scale.  Ties beyond ``order_cols`` are arbitrary, same as
+    the window's tie behavior."""
+    others = [c for c in df.columns if c != fp_col]
+    key = F.struct(*[F.col(c) for c in order_cols])
+    agg = df.groupBy(fp_col).agg(F.min_by(F.struct(*others), key).alias("_first"))
+    return agg.select(fp_col, *[F.col(f"_first.{c}").alias(c) for c in others])
+
+
 def dedup_new(
     candidates: DataFrame,
     seen: DataFrame,
@@ -55,8 +70,7 @@ def dedup_new(
     Returns the rows that are *new*: first occurrence in this batch AND not
     present in the committed seen set.  ``seen`` needs only ``fp_col``.
     """
-    firsts = mark_in_batch_first(candidates, fp_col, order_cols).filter(F.col("is_first_in_batch") == 1)
-    return firsts.drop("is_first_in_batch").join(
+    return dedup_first(candidates, fp_col, order_cols).join(
         seen.select(F.col(fp_col)).distinct(), on=fp_col, how="left_anti"
     )
 

@@ -689,6 +689,41 @@ def parser_routing(spark, sf_dir):
 
 
 @register(
+    "callback_routing",
+    """
+    WITH routes(event_type, parser_name, callback) AS (
+        VALUES ('click', 'PageParser', 'parse'), ('view', 'PageParser', 'parse'),
+               ('purchase', 'OrderParser', 'parse_detail'),
+               ('signup', 'PageParser', 'parse_detail'), ('error', 'OrderParser', 'parse'))
+    SELECT r.parser_name, r.callback, CAST(count(*) AS BIGINT) AS n_routed,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN routes r ON e.event_type = r.event_type
+    GROUP BY r.parser_name, r.callback
+    """,
+)
+def callback_routing(spark, sf_dir):
+    """J2 at callback granularity: requests carry a per-request callback NAME
+    beside the parser (request.py:248-252), dispatched getattr-style
+    (parser_control.py:562-570) — routing is a broadcast join on the
+    (parser, callback) dimension, grouped at dispatch granularity."""
+    routes = spark.createDataFrame(
+        [("click", "PageParser", "parse"), ("view", "PageParser", "parse"),
+         ("purchase", "OrderParser", "parse_detail"),
+         ("signup", "PageParser", "parse_detail"), ("error", "OrderParser", "parse")],
+        "event_type STRING, parser_name STRING, callback STRING",
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .join(F.broadcast(routes), on="event_type")
+        .groupBy("parser_name", "callback")
+        .agg(
+            F.count("*").alias("n_routed"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
     "lang_id",
     """
     SELECT doc_id, lang AS lang_actual,

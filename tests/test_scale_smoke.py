@@ -90,6 +90,7 @@ def test_iteration_commit_is_delta_not_rewrite(spark, tmp_path):
         .withColumn("added_iteration", F.lit(0))
         .withColumn("method", F.lit(None).cast("string"))
         .withColumn("payload", F.lit(None).cast("map<string,string>"))
+        .withColumn("callback", F.lit(None).cast("string"))
     )
     engine.t("frontier").commit(adds, mode="append")
     engine.frontier_size = n
