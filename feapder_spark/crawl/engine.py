@@ -779,6 +779,7 @@ class CrawlEngine:
         failed_new = routed.filter(F.col("route") == S.STATUS_FAILED).select(
             "fingerprint", "url", "url_canon", "host", "priority", "parser_name",
             "retry_times", "status_code", "method", "payload", "callback",
+            "auto_request",
         )
 
         # --- items (export-then-commit-fingerprint, item_buffer.py:351-358) ---

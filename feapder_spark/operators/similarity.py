@@ -14,8 +14,27 @@ results rounded, so the DuckDB oracle matches bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def adaptive_bits(n_rows: int, target_bucket: int = 32, lo: int = 4, hi: int = 16) -> int:
+    """LSH bucket bits that keep the EXPECTED BUCKET SIZE constant as the
+    table grows: ``ceil(log2(n/target))`` clamped to [lo, hi].
+
+    Fixed bits are a scale cliff — the bucket self-join's output is
+    Σ_b n_b² ≈ N²/2^bits, so 10× rows at constant bits is ~100× candidate
+    pairs.  Holding E[bucket] ≈ target instead makes candidate volume
+    O(N·target), the shape that survives a 100 TB table.  Recall per table
+    drops as bits rise (p^bits); production recovers it by banding more
+    tables (see :func:`multiband_neardup_pairs`), exactly like MinHash LSH's
+    (rows-per-band, bands) dial.
+    """
+    if n_rows <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket))))
 
 
 def _dot(a, b):

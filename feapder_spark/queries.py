@@ -793,10 +793,15 @@ def ann_verified_neardups(spark, sf_dir):
     """Composed embedding near-dup AT SCALE: sign-LSH bucket candidate
     generation (hash join on bucket, never an all-pairs cartesian) → exact
     cosine verification on the candidates only — the embedding analog of
-    minhash_verified_dups.  Candidate volume is Σ_b n_b² ≈ N²/2^bits; 4 bits
-    here trades candidate volume for recall (the n_bits knob IS the LSH
-    recall/cost dial; production would band multiple tables like MinHash)."""
-    return SIM.bucketed_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45, n_bits=4)
+    minhash_verified_dups.  Candidate volume is Σ_b n_b² ≈ N²/2^bits, so the
+    bit count ADAPTS to the table size (SIM.adaptive_bits: E[bucket]≈32 held
+    constant — 4 bits at the 500-row oracle scale, identical to the static
+    SQL; 10 bits at sf1's 20k rows, which un-cliffs the 10× scale-up from
+    ~100× to ~10× work).  Recall per table drops as bits rise; production
+    recovers it by banding tables (ann_multiband_neardups)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bits = SIM.adaptive_bits(emb.count())
+    return SIM.bucketed_neardup_pairs(emb, threshold=0.45, n_bits=bits)
 
 
 @register(
@@ -886,10 +891,12 @@ def ann_multiband_neardups(spark, sf_dir):
     blocks): candidate pairs share a bucket in ANY table (union, deduped
     pair-first), then exact-cosine verified — the banding trick that raises
     LSH recall (≈1-(1-p^b)^T) while candidate generation stays hash joins;
-    (n_bits, n_tables) is the recall/candidate-volume dial."""
-    return SIM.multiband_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_bits=4, n_tables=6
-    )
+    (n_bits, n_tables) is the recall/candidate-volume dial.  Bits adapt to
+    table size like ann_verified_neardups (4 at oracle scale = the static
+    SQL; capped at 64 dims / 6 tables = 10 so blocks stay disjoint)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bits = SIM.adaptive_bits(emb.count(), hi=64 // 6)
+    return SIM.multiband_neardup_pairs(emb, threshold=0.45, n_bits=bits, n_tables=6)
 
 
 @register(
