@@ -39,10 +39,12 @@ HEADLINE = [
     "quality_score",
     "minhash_signatures",
     "minhash_lsh_candidates",
+    "minhash_verified_dups",
     "simhash",
     "embedding_cosine_topk",
     "ann_ivf_topk",
     "ann_verified_neardups",
+    "ann_multiband_neardups",
     "sessionize",
     "crawl_rate_window",
     "pricing_rollup",

@@ -46,3 +46,22 @@ def test_multiband_recall_monotone_and_high_at_documented_setting(spark):
     assert recalls == sorted(recalls), recalls
     # the documented setting: 4 bits × 16 tables reaches ≥0.9 recall
     assert recalls[-1] >= 0.9, recalls
+
+
+def test_adaptive_bits_holds_bucket_size_constant():
+    """The bit count must grow with the table so E[bucket] stays ~target:
+    10x rows => ~+3.3 bits, keeping the bucket self-join's Sigma n_b^2
+    output linear in N instead of quadratic."""
+    from feapder_spark.operators.similarity import adaptive_bits
+
+    assert adaptive_bits(500) == 4          # oracle scale == the static SQL
+    assert adaptive_bits(2_000) == 6
+    assert adaptive_bits(20_000) == 10
+    assert adaptive_bits(10**9) == 16       # hi clamp
+    assert adaptive_bits(10) == 4           # lo clamp
+    assert adaptive_bits(20_000, hi=64 // 6) == 10  # multiband dim budget
+    # expected bucket size stays within 2x of target across 6 decades
+    for n in [10**k for k in range(3, 9)]:
+        bits = adaptive_bits(n)
+        if bits < 16:  # below the clamp the invariant must hold
+            assert 16 <= n / (1 << bits) <= 64, (n, bits)

@@ -91,6 +91,7 @@ def test_iteration_commit_is_delta_not_rewrite(spark, tmp_path):
         .withColumn("method", F.lit(None).cast("string"))
         .withColumn("payload", F.lit(None).cast("map<string,string>"))
         .withColumn("callback", F.lit(None).cast("string"))
+        .withColumn("auto_request", F.lit(True))
     )
     engine.t("frontier").commit(adds, mode="append")
     engine.frontier_size = n
