@@ -39,8 +39,15 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import os as _os
+import time as _time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
+
+# opt-in phase timing: SPARK_GRAFT_TRACE=1 prints per-iteration phase walls
+# (lease/agg job, claim, commits, checkpoint) — for locating driver-side
+# serial cost; zero overhead when unset
+_TRACE = bool(_os.environ.get("SPARK_GRAFT_TRACE"))
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -620,6 +627,7 @@ class CrawlEngine:
         return ckpt
 
     def _iterate(self) -> IterationStats | None:
+        _t0 = _time.time()
         cfg = self.cfg
         due = self._read_frontier().filter(F.col("status") == S.STATUS_TODO)
         budgets = self._iteration_budgets()
@@ -637,7 +645,16 @@ class CrawlEngine:
         # the global lease-seq window (bounded, single-partition over ≤k rows)
         # is NOT applied here: only the crawl_order audit commit needs seq, so
         # it runs inside that commit's thread, off the iteration critical path
-        batch = FR.take_batch(due, cfg.batch_size, budgets, self._default_budget).persist()
+        if budgets is None and 0 < self.frontier_size <= cfg.batch_size:
+            # whole-frontier lease (drain phases; production mega-batches):
+            # |due| <= k and no politeness gate, so the global top-k is the
+            # identity on the leased SET — skip the sort+GlobalLimit funnel
+            # that would drag every row through ONE task before the fetch
+            # stage repartitions (the crawl_order audit still derives seq
+            # from its own sort, so lease semantics are unchanged)
+            batch = due.persist()
+        else:
+            batch = FR.take_batch(due, cfg.batch_size, budgets, self._default_budget).persist()
 
         # fused fetch+parse: one python eval per task (fetcher.py rationale)
         # host-grouped partitioning only matters when per-host rate limits
@@ -692,6 +709,7 @@ class CrawlEngine:
                 else []
             ),
         ).first()
+        _t_agg = _time.time()
         leased = int(frow["leased"] or 0)
         if leased == 0:
             batch.unpersist()
@@ -885,9 +903,11 @@ class CrawlEngine:
                     self._sized(cache_rows, int(frow["cache_new"])), mode="append"
                 )
             )
+        _t_pre = _time.time()
         with ThreadPoolExecutor(max_workers=len(commits)) as pool:
             for fut in [pool.submit(c) for c in commits]:
                 fut.result()  # propagate any commit failure before checkpointing
+        _t_commits = _time.time()
         if self._bloom is not None:
             self._bloom.release()
         # the Observation fired inside whichever commit materialized new_rows
@@ -925,6 +945,14 @@ class CrawlEngine:
         # iteration summary travels in the checkpoint label (no Spark job);
         # the metrics table is materialized from the labels at end of run()
         self.store.checkpoint(self._label(stats=st.__dict__), TABLES)
+        if _TRACE:
+            _t_end = _time.time()
+            print(
+                f"TRACE iter={st.iteration} agg={_t_agg - _t0:.2f} "
+                f"route+plan={_t_pre - _t_agg:.2f} commits={_t_commits - _t_pre:.2f} "
+                f"obs+ckpt={_t_end - _t_commits:.2f} total={_t_end - _t0:.2f}",
+                flush=True,
+            )
 
         for df in (batch, fetched, new_rows):
             df.unpersist()
