@@ -250,6 +250,9 @@ local[8] -> local[32] is reported for transparency — this VM cannot deliver
 4x from 8->32 even for plain multiprocessing (a pure-python 32-process ALU
 loop reaches only ~3.4x over 8, i.e. 0.85, and memory-bound work less), so
 the 8->32 number reflects host saturation, not engine serialization.
+Full-loop levels are best-of-3 fresh-process runs: this host's background
+load swings single runs by 30-60%, and the best run measures the engine,
+not a host hiccup.
 
 ## 1. Data-plane scaling (governs production scale)
 
