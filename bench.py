@@ -90,6 +90,24 @@ def crawl_bench(spark, n_hosts=150, pages_per_host=60, batch_size=6000, max_iter
     }
 
 
+def host_canary() -> float:
+    """Single-thread md5 throughput (MB/s) over a fixed buffer — a host-speed
+    canary, not an engine metric: this VM's absolute throughput swings ~2x
+    across hours (the unchanged pure-python dedup microbench measured 485k
+    keys/s when BENCH_r02 was recorded and ~112k the next day; this canary
+    read ~630 MB/s during the slow phase).  Engine changes cannot move this
+    number, so cross-round timing comparisons should be read against it."""
+    import hashlib
+
+    buf = b"x" * 65536
+    t0 = time.time()
+    k = 0
+    while time.time() - t0 < 0.5:
+        hashlib.md5(buf).digest()
+        k += 1
+    return round(k * 65536 / (time.time() - t0) / 1e6, 1)
+
+
 def dedup_bench(n_keys=200_000):
     """In-process vectorized Bloom throughput vs the reference's ~20k/s."""
     from feapder_spark.operators.dedup import ScalableMemoryBloom
@@ -106,6 +124,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
+    canary = host_canary()  # before anything else (CPU-clean)
     dedup_rate = dedup_bench()  # before the Spark JVM exists (CPU-clean)
 
     from feapder_spark import queries as Q
@@ -144,6 +163,7 @@ def main() -> None:
         "crawl_bigbatch": crawl_big,
         "crawl_bloom_bigbatch": crawl_bloom_big,
         "dedup_keys_per_sec": dedup_rate,
+        "host_canary_md5_mbps": canary,
     }
     print(json.dumps(out))
 

@@ -253,6 +253,11 @@ the 8->32 number reflects host saturation, not engine serialization.
 Full-loop levels are best-of-3 fresh-process runs: this host's background
 load swings single runs by 30-60%, and the best run measures the engine,
 not a host hiccup.
+Cross-ROUND comparisons need the same care: the host's absolute speed also
+drifts ~2x across hours (the unchanged pure-python dedup microbench read
+485k keys/s at BENCH_r02 time and ~112k the next day), so bench.py now
+emits `host_canary_md5_mbps` — a single-thread md5 rate no engine change
+can move — to normalize round-over-round timings.
 
 ## 1. Data-plane scaling (governs production scale)
 
