@@ -126,3 +126,28 @@ def test_in_proc_filters_have_no_false_negatives(keys):
     for filt in (LiteFilter(), ScalableMemoryBloom(initial_capacity=10_000)):
         filt.add(keys)
         assert all(filt.get(keys)), type(filt).__name__
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyzABC0123456789-._~%!$&'()*+,;=:@/? #\t\r\n",
+            min_size=0, max_size=30),
+    st.sampled_from(["", "http://", "https://", "HTTP://", "//", "/", "rel/"]),
+)
+def test_make_absolute_matches_urljoin_exactly(tail, prefix):
+    """make_absolute's absolute-link short-circuit must be invisible: for
+    EVERY (base, link) its output equals plain urljoin's (the reference's
+    response.py:181-210 behavior) — the fast path is a pure optimization."""
+    from urllib.parse import urljoin
+
+    from feapder_spark.crawl.html import make_absolute
+
+    link = prefix + tail
+    for base in ("http://host-1.test/page-2", "https://h:8080/a/b?q=1", "", "not a url"):
+        try:
+            expected = urljoin(base, link)
+        except ValueError:
+            expected = link
+        if not link:
+            expected = link
+        assert make_absolute(base, link) == expected
