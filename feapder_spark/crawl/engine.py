@@ -863,11 +863,14 @@ class CrawlEngine:
                 )
             )
             commits.append(
+                # bucket-aligned placement: shuffle_to colocates each ib
+                # bucket's rows so the hive write emits ~1 file per bucket,
+                # not input-partitions x buckets
                 lambda: self.t("items").commit_append_partitioned(
-                    self._sized(items_new, fetched_ok).withColumn(
-                        "ib", self._item_bucket_col()
-                    ),
+                    items_new.withColumn("ib", self._item_bucket_col()),
                     "ib",
+                    shuffle_to=max(1, min(self.spark.sparkContext.defaultParallelism,
+                                          fetched_ok // 100_000 + 1)),
                 )
             )
         if failed_n > 0:

@@ -261,7 +261,11 @@ class SnapshotTable:
         return version
 
     def commit_append_partitioned(
-        self, df: DataFrame, partition_col: str, meta: dict | None = None
+        self,
+        df: DataFrame,
+        partition_col: str,
+        meta: dict | None = None,
+        shuffle_to: int | None = None,
     ) -> int:
         """Append one segment hive-partitioned by ``partition_col`` and record
         its per-key leaf dirs in the manifest, so later reads can prune to a
@@ -272,6 +276,12 @@ class SnapshotTable:
         table schema (derive it from a data column, e.g.
         ``pmod(xxhash64(item_fp), B)``, so readers recompute it for free).
         Write bytes are O(df) — append semantics, nothing rewrites.
+
+        ``shuffle_to``: hash-partition the frame on ``partition_col`` into
+        this many tasks before the write, so each bucket's rows are
+        colocated and ``partitionBy`` emits ≤1 file per (task ∩ bucket)
+        instead of the input-partitions × buckets small-file explosion —
+        pass the same right-sizing count used for plain commits.
         """
         prev = self.manifest()
         version = (prev.version + 1) if prev else 0
@@ -285,9 +295,10 @@ class SnapshotTable:
         from pyspark.sql import functions as F
 
         schema_ddl = df.drop(partition_col)._jdf.schema().toDDL()
-        df.withColumn("pb", F.col(partition_col).cast("string")).drop(
-            partition_col
-        ).write.mode("overwrite").partitionBy("pb").parquet(seg_path)
+        out = df.withColumn("pb", F.col(partition_col).cast("string")).drop(partition_col)
+        if shuffle_to is not None:
+            out = out.repartition(max(1, shuffle_to), F.col("pb"))
+        out.write.mode("overwrite").partitionBy("pb").parquet(seg_path)
         written = {
             d.split("=", 1)[1]: f"{seg}/{d}"
             for d in os.listdir(seg_path)
