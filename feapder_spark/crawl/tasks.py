@@ -98,7 +98,11 @@ class TaskManager:
         prev = self.table.manifest()
         merged = dict((prev.meta or {}).get("state_counts", {})) if prev else {}
         merged.update(counts)
-        self.table.commit_partitions(wb, "bucket", meta={"state_counts": merged})
+        # one write task per touched bucket: colocated buckets emit one
+        # healthy file each instead of input-partitions x buckets shards
+        self.table.commit_partitions(
+            wb, "bucket", meta={"state_counts": merged}, shuffle_to=max(1, len(counts))
+        )
         wb.unpersist()
 
     def _buckets_in_state(self, idx: int) -> list[int] | None:

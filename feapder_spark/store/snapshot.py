@@ -313,7 +313,11 @@ class SnapshotTable:
         return version
 
     def commit_partitions(
-        self, df: DataFrame, partition_col: str, meta: dict | None = None
+        self,
+        df: DataFrame,
+        partition_col: str,
+        meta: dict | None = None,
+        shuffle_to: int | None = None,
     ) -> int:
         """Dynamic-partition-overwrite commit: replace ONLY the partitions
         present in ``df``; all other partitions carry over by reference (no
@@ -322,6 +326,8 @@ class SnapshotTable:
         The frame is written once, hive-partitioned by ``partition_col``; the
         new manifest maps each written key to its new dir and keeps the old
         dirs for every untouched key — commit bytes ∝ touched partitions.
+        ``shuffle_to`` colocates buckets before the write (see
+        :meth:`commit_append_partitioned`).
         """
         prev = self.manifest()
         version = (prev.version + 1) if prev else 0
@@ -330,9 +336,10 @@ class SnapshotTable:
         schema_ddl = df._jdf.schema().toDDL()  # before the helper column
         from pyspark.sql import functions as F
 
-        df.withColumn("pb", F.col(partition_col).cast("string")).write.mode(
-            "overwrite"
-        ).partitionBy("pb").parquet(seg_path)
+        out = df.withColumn("pb", F.col(partition_col).cast("string"))
+        if shuffle_to is not None:
+            out = out.repartition(max(1, shuffle_to), F.col("pb"))
+        out.write.mode("overwrite").partitionBy("pb").parquet(seg_path)
         written = {
             d.split("=", 1)[1]: f"{seg}/{d}"
             for d in os.listdir(seg_path)
