@@ -124,8 +124,13 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
-    canary = host_canary()  # before anything else (CPU-clean)
-    dedup_rate = dedup_bench()  # before the Spark JVM exists (CPU-clean)
+    # run twice, report the warm pass: the first run measures the CPU
+    # governor ramping up (observed 45k->317k keys/s across back-to-back
+    # identical runs), not the code
+    host_canary()
+    canary = host_canary()
+    dedup_bench()  # before the Spark JVM exists (CPU-clean)
+    dedup_rate = dedup_bench()
 
     from feapder_spark import queries as Q
     from feapder_spark.session import get_spark
