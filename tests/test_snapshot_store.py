@@ -100,3 +100,50 @@ def test_expire_snapshots_gc(spark, tmp_path):
     # idempotent
     stats2 = engine.expire_snapshots(keep_checkpoints=1)
     assert stats2["segments_deleted"] == 0
+
+
+def test_partitioned_writes_colocate_buckets(store, spark, tmp_path):
+    """shuffle_to must yield ~one healthy file per bucket dir, not the
+    input-partitions x buckets small-file explosion (a 32-partition frame
+    over 8 buckets previously wrote up to 256 shards per commit)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = store.table("colocate")
+    df = (
+        spark.range(10_000)
+        .repartition(32)  # adversarial input partitioning
+        .select(
+            F.col("id"),
+            F.pmod(F.col("id"), F.lit(8)).cast("int").alias("b"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+    )
+    t.commit_append_partitioned(df, "b", shuffle_to=8)
+    man = t.manifest()
+    seg = man.segments[-1]
+    root = os.path.join(t.root, "data", seg)
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("pb="):
+            continue
+        files = [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: {len(files)} files (want 1 per bucket)"
+    # and the data round-trips
+    assert t.read().count() == 10_000
+
+    t2 = store.table("colocate_ovw")
+    t2.commit_partitions(df, "b", shuffle_to=8)
+    root2 = os.path.join(t2.root, "data")
+    seg_dirs = os.listdir(root2)
+    assert len(seg_dirs) == 1
+    for d in sorted(os.listdir(os.path.join(root2, seg_dirs[0]))):
+        if not d.startswith("pb="):
+            continue
+        files = [
+            f
+            for f in os.listdir(os.path.join(root2, seg_dirs[0], d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{d}: {len(files)} files (want 1 per bucket)"
+    assert t2.read().count() == 10_000
