@@ -26,13 +26,18 @@ Scale notes (the 100 TB story):
   bounded by candidate count — fingerprints are 16 B) or the bucketed Bloom
   blobs (operators/seen_set.py): partition-pruned read of the touched
   buckets only + dynamic-partition-overwrite commit of the same.
-- the frontier is a DELTA log: adds are append-only, a lease appends
-  tombstones keyed by (fingerprint, retry_times, added_iteration), and the
-  visible set is adds ⟕anti tombstones — per-iteration write bytes are
-  O(batch), never O(frontier).  Compaction folds tombstones back in when
-  they exceed the visible size.  On Iceberg both tables bucket by
-  fingerprint so the anti-join is co-partitioned (storage-partitioned
-  join, no shuffle); that bucketing is this store's one deferred seam.
+- the frontier is a BANDED delta log: adds are append-only and
+  hive-partitioned on the lease band (= priority, with per-band row counts
+  in manifest meta); a lease appends tombstones keyed by (fingerprint,
+  retry_times, added_iteration) into the same bands, and the visible set is
+  adds ⟕anti tombstones — per-iteration write bytes are O(batch), and the
+  per-iteration lease READ opens only the lowest bands covering batch_size
+  visible rows (_lease_band_keys; the reference zset lease bound,
+  redisdb.py:472-523), never the whole frontier.  Compaction folds
+  tombstones back in when they exceed the visible size.  On Iceberg both
+  tables additionally bucket by fingerprint so the anti-join is
+  co-partitioned (storage-partitioned join, no shuffle); that bucketing is
+  this store's one deferred seam.
 - each iteration's lineage is cut by persisted micro-batch frames; state
   never accumulates in driver memory (no collect of data rows anywhere).
 """
@@ -71,7 +76,6 @@ from feapder_spark.crawl.items import item_fp_col as _items_fp_col
 from feapder_spark.urlnorm import request_fingerprint
 from feapder_spark.operators.seen_set import (
     BloomSeenSet,
-    dedup_first,
     dedup_new,
     prune_expired,
 )
@@ -236,6 +240,7 @@ class CrawlEngine:
         self.frontier_size = 0  # maintained from known per-iteration deltas
         self.tombstone_rows = 0  # delta-log size; compaction resets it
         self._obs_fallbacks = 0  # diagnostics: links_new Observation misses
+        self._last_lease_bands = None  # diagnostics: bands read by last lease
         self._budgets = (
             FR.budgets_df(spark, self.cfg.politeness) if self.cfg.politeness else None
         )
@@ -266,13 +271,93 @@ class CrawlEngine:
     def t(self, name: str):
         return self.store.table(name)
 
+    def _target(self, n_rows: int, rows_per_file: int = 100_000) -> int:
+        """Write-task count for a known row count (healthy parquet files)."""
+        return max(1, min(self.spark.sparkContext.defaultParallelism, n_rows // rows_per_file + 1))
+
     def _sized(self, df, n_rows: int, rows_per_file: int = 100_000):
         """Right-size write parallelism from a known row count: tiny frames
         become 1 task instead of <shuffle.partitions> empty files, big
         frames keep full parallelism (same rule a production writer uses
         to hit healthy parquet file sizes)."""
-        target = max(1, min(self.spark.sparkContext.defaultParallelism, n_rows // rows_per_file + 1))
-        return df.coalesce(target)
+        return df.coalesce(self._target(n_rows, rows_per_file))
+
+    # -- banded frontier storage ---------------------------------------------
+    # The frontier adds and tombstone tables are hive-partitioned on a lease
+    # BAND = the row's priority (a tombstone lands in the same band as the add
+    # it cancels, so a band-subset anti-join is self-contained), with per-band
+    # row counts riding each commit in manifest meta (part_rows).  The
+    # per-iteration lease read then opens only the lowest-priority bands that
+    # cover batch_size visible rows — the frontier analogue of the items/tasks
+    # read pruning, and the match for the reference's zset lease bound of
+    # O(log n + k) per take (redisdb.py:472-523): never a full scan of a
+    # 10^10-row frontier to lease 10^6 rows.
+
+    def _commit_frontier_adds(self, df: DataFrame, n_bound: int, mode: str = "append") -> None:
+        target = self._target(n_bound)
+        self.t("frontier").commit_append_partitioned(
+            df.withColumn("band", F.col("priority")), "band",
+            shuffle_to=target, count_rows=True, mode=mode,
+            # bands are LOW cardinality (often one): salt the shuffle so a
+            # one-band mega-batch still writes with full parallelism
+            salt_col=F.pmod(F.xxhash64("fingerprint"), F.lit(target)),
+        )
+
+    def _commit_frontier_tombs(self, df_with_priority: DataFrame, n_bound: int,
+                               mode: str = "append") -> None:
+        target = self._target(n_bound)
+        self.t("frontier_tombs").commit_append_partitioned(
+            df_with_priority.withColumn("band", F.col("priority")).drop("priority"),
+            "band", shuffle_to=target, count_rows=True, mode=mode,
+            salt_col=F.pmod(F.xxhash64("fingerprint"), F.lit(target)),
+        )
+
+    def _empty_tombs(self) -> DataFrame:
+        return self.spark.createDataFrame([], TOMBS_DDL + ", priority INT")
+
+    def _lease_band_keys(self, k: int) -> list[str] | None:
+        """Priority bands whose visible rows provably cover the next top-k
+        lease, lowest priority first; None ⇒ the manifests can't bound it
+        (legacy unbanded segments, count gaps) and the caller must read the
+        whole frontier.  Pure driver-side dict math over manifest meta — no
+        Spark job.  Correctness: every row in an unread band has a strictly
+        higher priority than the k-th row of the read bands, so the global
+        top-k over the read subset equals the top-k over the full frontier."""
+        am = self.t("frontier").manifest()
+        if am is None or am.partitions:
+            return None
+        ameta = am.meta or {}
+        adds_rows = ameta.get("part_rows")
+        if (
+            adds_rows is None
+            or not ameta.get("part_rows_complete", True)
+            or any(s not in (am.seg_parts or {}) for s in am.segments)
+        ):
+            return None
+        tomb_rows = {}
+        tm = self.t("frontier_tombs").manifest()
+        if tm is not None and tm.segments:
+            tmeta = tm.meta or {}
+            tomb_rows = tmeta.get("part_rows")
+            if (
+                tomb_rows is None
+                or not tmeta.get("part_rows_complete", True)
+                or any(s not in (tm.seg_parts or {}) for s in tm.segments)
+            ):
+                return None
+        keys: list[str] = []
+        cum = 0
+        for band in sorted(adds_rows, key=int):
+            visible = adds_rows[band] - tomb_rows.get(band, 0)
+            if visible < 0:
+                return None  # invariant broken (double tombstone?) — distrust all
+            if visible == 0:
+                continue
+            keys.append(band)
+            cum += visible
+            if cum >= k:
+                break
+        return keys
 
     def _init_tables(self):
         ddls = {
@@ -293,6 +378,19 @@ class CrawlEngine:
         for name, ddl in ddls.items():
             if not self.t(name).exists():
                 self.t(name).create_empty(ddl)
+        if self._bloom is not None:
+            # bloom bucket routing is pmod(xxhash64(fp), bloom_buckets); a
+            # different modulus on resume would route fingerprints to blobs
+            # that never saw them — the whole dedup state silently voids.
+            # The modulus rides every seen_set commit's meta; refuse loudly.
+            m = self.t("seen_set").manifest()
+            rec = (m.meta or {}).get("bucket_modulus") if m else None
+            if rec is not None and int(rec) != self.cfg.bloom_buckets:
+                raise ValueError(
+                    f"seen_set was committed with bloom_buckets={rec}; resuming "
+                    f"with {self.cfg.bloom_buckets} would void the dedup state — "
+                    "keep the original bucket count"
+                )
 
     def seed(self, seeds: list[dict]) -> bool:
         """Seed the frontier; skipped when a frontier already exists
@@ -304,12 +402,10 @@ class CrawlEngine:
         # tombstones (whose row-version keys restart with a fresh engine's
         # iteration counter) can never shadow the new seed rows
         if self.t("frontier_tombs").read().limit(1).count() > 0:
-            self.t("frontier").commit(
-                self.spark.createDataFrame([], FR.FRONTIER_DDL), mode="overwrite"
+            self._commit_frontier_adds(
+                self.spark.createDataFrame([], FR.FRONTIER_DDL), 0, mode="overwrite"
             )
-            self.t("frontier_tombs").commit(
-                self.spark.createDataFrame([], TOMBS_DDL), mode="overwrite"
-            )
+            self._commit_frontier_tombs(self._empty_tombs(), 0, mode="overwrite")
             self.tombstone_rows = 0
         rows = []
         for s in seeds:
@@ -346,7 +442,7 @@ class CrawlEngine:
         new_rows, seen_commit, _obs, _stale = self._claim_new(cands)
         n_seeded = new_rows.count()
         self.frontier_size = n_seeded
-        self.t("frontier").commit(self._sized(new_rows, n_seeded), mode="append")
+        self._commit_frontier_adds(new_rows, n_seeded)
         seen_commit(n_seeded, self.iteration)
         if self._bloom is not None:
             self._bloom.release()
@@ -420,10 +516,10 @@ class CrawlEngine:
                 stale = stale.persist()
                 n_stale = stale.count()
                 if n_stale:
-                    self.t("frontier_tombs").commit(stale, mode="append")
+                    self._commit_frontier_tombs(stale, n_stale)
                     self.tombstone_rows += n_stale
                 stale.unpersist()
-            self.t("frontier").commit(self._sized(new_rows, n_new), mode="append")
+            self._commit_frontier_adds(new_rows, n_new)
         seen_commit(n_new, self.iteration)  # no-op write at 0; releases caches
         if self._bloom is not None:
             self._bloom.release()
@@ -432,12 +528,33 @@ class CrawlEngine:
         new_rows.unpersist()
         return n_new
 
+    _schema_cache: dict = {}
+
+    def _backfill_columns(self, df: DataFrame, ddl: str) -> DataFrame:
+        """Schema evolution on read (Iceberg add-column parity): columns the
+        engine DDL gained after a table was committed materialize as typed
+        NULLs, so a pre-upgrade store resumes cleanly instead of failing with
+        unresolved-column errors on the first select (the manifests of old
+        commits pin the old schema_ddl).  NULL callback means no callback;
+        NULL auto_request reads as true at every consumer."""
+        want = CrawlEngine._schema_cache.get(ddl)
+        if want is None:
+            from pyspark.sql.types import StructType
+
+            want = StructType.fromDDL(ddl)
+            CrawlEngine._schema_cache[ddl] = want
+        have = set(df.columns)
+        missing = [f for f in want.fields if f.name not in have]
+        for f in missing:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df
+
     def _read_frontier(self) -> DataFrame:
         """Visible frontier = adds ⟕anti tombstones on the row-version key.
         On Iceberg both sides bucket by fingerprint, making this a
         storage-partitioned join (no shuffle); here it is a plain anti-join
         whose shuffle is bounded by the delta-log size between compactions."""
-        adds = self.t("frontier").read()
+        adds = self._backfill_columns(self.t("frontier").read(), FR.FRONTIER_DDL)
         tombs = self.t("frontier_tombs").read()
         return adds.join(
             tombs, on=["fingerprint", "retry_times", "added_iteration"], how="left_anti"
@@ -467,8 +584,12 @@ class CrawlEngine:
             return FR.merge_budgets(self._budgets, self._default_budget, dyn)
         return self._budgets
 
-    def _claim_new(self, cands):
+    def _claim_new(self, cands, add_version: int | None = None):
         """Claim-on-enqueue dedup, exact or Bloom path.
+
+        ``add_version`` is the ``added_iteration`` value the candidate rows
+        carry (defaults to the current iteration) — the TTL stale logic needs
+        it to recognize row-version-key collisions.
 
         Returns (new_rows_df_persisted, seen_commit_fn, observation,
         stale_tombs) — the commit fn is run with the iteration's other table
@@ -485,6 +606,8 @@ class CrawlEngine:
         tombstones the stale visible version before appending the new one
         (otherwise the URL fetches twice and crawl_order diverges).
         """
+        if add_version is None:
+            add_version = self.iteration
         obs = Observation()
         if self._bloom is None:
             seen_df = self.t("seen").read()
@@ -497,26 +620,48 @@ class CrawlEngine:
                 )
             if self.cfg.seen_ttl_seconds is not None:
                 seen_df = prune_expired(seen_df, self.cfg.seen_ttl_seconds)
+            ttl_mode = (
+                self.cfg.seen_ttl_iterations is not None
+                or self.cfg.seen_ttl_seconds is not None
+            )
+            base_new = dedup_new(cands, seen_df, order_cols=("priority", "url"))
+            vis = None
+            if ttl_mode:
+                # visible-frontier snapshot, pinned pre-iteration (manifest
+                # resolved at DataFrame construction) — TTL is an
+                # exact-set-only mode, so this extra read rides the iteration
+                # only when the user opted into expiry
+                vis = self._read_frontier().select(
+                    "fingerprint", "retry_times", "added_iteration", "priority"
+                )
+                # a TTL re-claim whose still-visible row has the SAME
+                # row-version key the new append would get ((fp, 0,
+                # add_version) — two add_requests for one URL within one
+                # iteration with the TTL elapsed between them) cannot be
+                # tombstoned without the tombstone also shadowing the new
+                # row; keep the still-pending visible row and skip the
+                # re-add instead of silently losing both
+                colliding = vis.filter(
+                    (F.col("retry_times") == 0)
+                    & (F.col("added_iteration") == add_version)
+                ).select("fingerprint")
+                base_new = base_new.join(colliding, on="fingerprint", how="left_anti")
             new_rows = (
-                dedup_new(cands, seen_df, order_cols=("priority", "url"))
+                base_new
                 .withColumn("status", F.lit(S.STATUS_TODO))
                 .select(*self._frontier_cols())
                 .observe(obs, F.count(F.lit(1)).alias("n_new"))
                 .persist()
             )
             stale_tombs = None
-            if (
-                self.cfg.seen_ttl_iterations is not None
-                or self.cfg.seen_ttl_seconds is not None
-            ):
-                # visible rows shadowed by a TTL re-claim; the read paths are
-                # pinned to the pre-iteration snapshot (manifest resolved at
-                # DataFrame construction), so this composes with the
-                # concurrent commits safely.  TTL is an exact-set-only mode,
-                # so the extra frontier read rides the iteration only when
-                # the user opted into expiry.
-                stale_tombs = self._read_frontier().select(
-                    "fingerprint", "retry_times", "added_iteration"
+            if ttl_mode:
+                # visible rows shadowed by a TTL re-claim (the oracle's
+                # dict-keyed frontier replaces them); same-key rows were
+                # already excluded from new_rows above, so every stale row
+                # here tombstones distinctly
+                stale_tombs = vis.filter(
+                    (F.col("retry_times") != 0)
+                    | (F.col("added_iteration") != add_version)
                 ).join(new_rows.select("fingerprint"), on="fingerprint", how="left_semi")
 
             def commit_fn(n_bound, iteration):
@@ -536,28 +681,30 @@ class CrawlEngine:
 
             return new_rows, commit_fn, obs, stale_tombs
 
-        firsts = dedup_first(cands, order_cols=("priority", "url")).persist()
+        # FUSED Bloom claim (one cogroup, one shuffle per side): in-batch
+        # first-dedup + membership check + insert happen inside the pandas
+        # group — no separate dedup_first aggregation and no results⨝firsts
+        # join afterwards.  This is the small-batch fixed-cost path: one
+        # Arrow hop total.
+        keyed = cands.withColumn("bucket", self._bloom.bucket_col("fingerprint"))
         # driver-side partition pruning: collect the candidates' bucket ids
         # (≤ num_buckets tiny ints) and read ONLY those blob partitions — the
         # untouched ~15 MB blobs are never opened, in Python or the JVM.
         # Worth one extra driver job only when the table has enough
         # partitions to prune (same logic as a broadcast threshold): a small
-        # blob table is cheaper to scan whole and let check_and_add's
-        # semi-join prune in-JVM.
+        # blob table is cheaper to scan whole and let claim_new's semi-join
+        # prune in-JVM.
         n_parts = len(self.t("seen_set").manifest().partitions or {})
         if n_parts > self.cfg.bloom_prune_read_min_partitions:
             touched_keys = [
-                r[0]
-                for r in firsts.select(self._bloom.bucket_col("fingerprint").alias("bucket"))
-                .distinct()
-                .collect()
+                r[0] for r in keyed.select("bucket").distinct().collect()
             ]
             blobs = self.t("seen_set").read_partitions(touched_keys)
         else:
             blobs = self.t("seen_set").read()
-        results, _, touched = self._bloom.check_and_add(firsts.select("fingerprint"), blobs)
+        claimed, changed_blobs = self._bloom.claim_new(keyed, blobs)
         new_rows = (
-            firsts.join(results.filter(F.col("is_new") == 1).select("fingerprint"), on="fingerprint")
+            claimed
             .withColumn("status", F.lit(S.STATUS_TODO))
             .select(*self._frontier_cols())
             .observe(obs, F.count(F.lit(1)).alias("n_new"))
@@ -565,11 +712,15 @@ class CrawlEngine:
         )
 
         def commit_fn(n_bound, iteration):
-            # dynamic partition overwrite: only touched buckets move
-            # (membership bits advanced even for dup-only buckets)
+            # dynamic partition overwrite of ONLY the buckets whose bits
+            # changed — dup-only buckets are never rewritten (claim_new
+            # elides them), so the blob write I/O of a dup-heavy iteration
+            # is ~zero
             if n_bound > 0:
-                self.t("seen_set").commit_partitions(touched, "bucket")
-            firsts.unpersist()
+                self.t("seen_set").commit_partitions(
+                    changed_blobs, "bucket",
+                    meta={"bucket_modulus": self.cfg.bloom_buckets},
+                )
 
         return new_rows, commit_fn, obs, None
 
@@ -578,6 +729,36 @@ class CrawlEngine:
         recomputed identically by writers and the pruned-read side."""
         return F.pmod(F.xxhash64("item_fp"), F.lit(self.cfg.items_buckets)).cast("int")
 
+    def _items_meta(self) -> dict:
+        """Manifest meta for an items commit: records the bucket modulus the
+        segment's placement keys were computed with.  If the store ever held
+        segments under a DIFFERENT modulus, a mixed flag is carried forward —
+        pruned reads are then disabled (see _items_seen_side) because old
+        segments' keys don't mean what the current modulus says they mean."""
+        m = self.t("items").manifest()
+        prev = (m.meta or {}) if m else {}
+        B = self.cfg.items_buckets
+        meta = {"bucket_modulus": B}
+        if prev.get("bucket_modulus_mixed") or (
+            m is not None and m.segments and prev.get("bucket_modulus") != B
+        ):
+            meta["bucket_modulus_mixed"] = True
+        return meta
+
+    def _items_pruning_safe(self) -> bool:
+        """Pruned items reads are sound only when every partitioned segment
+        was placed under the CURRENT modulus — otherwise read_partition_subset
+        would skip files that hold matching item_fps and the dedup anti-join
+        silently misses (duplicate items get re-appended)."""
+        m = self.t("items").manifest()
+        if m is None or not m.seg_parts:
+            return True  # nothing partitioned yet — nothing to misread
+        meta = m.meta or {}
+        return (
+            not meta.get("bucket_modulus_mixed")
+            and meta.get("bucket_modulus") == self.cfg.items_buckets
+        )
+
     def _items_seen_side(self, item_rows: DataFrame) -> DataFrame:
         """Right side of the items-dedup anti-join.  Above the leaf-dir
         threshold: collect the batch's bucket ids (≤items_buckets tiny ints,
@@ -585,6 +766,8 @@ class CrawlEngine:
         dirs — per-iteration items I/O ∝ batch buckets, never O(table).
         Below it the whole (small) table is cheaper than the extra job."""
         items_t = self.t("items")
+        if not self._items_pruning_safe():
+            return items_t.read().select("item_fp")
         if items_t.leaf_partition_count() > self.cfg.items_prune_min_leaf_parts:
             touched = [
                 r[0]
@@ -629,8 +812,26 @@ class CrawlEngine:
     def _iterate(self) -> IterationStats | None:
         _t0 = _time.time()
         cfg = self.cfg
-        due = self._read_frontier().filter(F.col("status") == S.STATUS_TODO)
         budgets = self._iteration_budgets()
+        # band-pruned lease read: with no politeness gate, the top-k lease
+        # provably lives in the lowest-priority bands whose visible counts
+        # cover batch_size — open only those dirs (adds AND tombstones).
+        # With host budgets a low band can be gated out in favor of rows
+        # from a higher band, so the gated path reads the whole frontier.
+        band_keys = None
+        if budgets is None and self._buckets is None:
+            band_keys = self._lease_band_keys(cfg.batch_size)
+        self._last_lease_bands = band_keys
+        if band_keys is None:
+            due = self._read_frontier().filter(F.col("status") == S.STATUS_TODO)
+        else:
+            adds = self._backfill_columns(
+                self.t("frontier").read_partition_subset(band_keys), FR.FRONTIER_DDL
+            )
+            tombs = self.t("frontier_tombs").read_partition_subset(band_keys)
+            due = adds.join(
+                tombs, on=["fingerprint", "retry_times", "added_iteration"], how="left_anti"
+            ).filter(F.col("status") == S.STATUS_TODO)
         accrued = None
         if self._buckets is not None:
             state = self.t("token_buckets").read()
@@ -692,7 +893,12 @@ class CrawlEngine:
         retry_ok = F.col("retry_times") + 1 <= cfg.max_retries
         not_ok = F.col("status_code") != 200
         abandoned = F.col("status_code") == S.CODE_ABANDONED
-        frow = fetched.agg(
+        # ONE rollup job yields the global outcome row (stage_partition NULL)
+        # AND the per-partition lineage counts — the separate per-partition
+        # aggregation + metrics_partitions write job are folded away; the
+        # lineage rows (≤ parallelism ints) travel in the checkpoint label
+        # and materialize at flush_metrics, like the metrics table
+        agg_rows = fetched.rollup("stage_partition").agg(
             # leased counts batch rows only — request_sync rows are executed
             # inline (never queued), so they appear in fetched but are not
             # leases (no tombstone, no crawl_order seq)
@@ -703,12 +909,25 @@ class CrawlEngine:
             F.sum(
                 F.coalesce(F.size(F.from_json("links_json", FUSED_LINKS_DDL)), F.lit(0)).cast("long")
             ).alias("links_total"),
+            F.count(F.lit(1)).alias("n_rows"),
             *(
                 [F.sum(F.col("content").isNotNull().cast("long")).alias("cache_new")]
                 if cfg.use_fetch_cache
                 else []
             ),
-        ).first()
+        ).collect()
+        # an EMPTY batch yields zero rollup rows (plain agg would give one
+        # all-NULL row) — synthesize the zero outcome for the drain check
+        frow = next(
+            (r for r in agg_rows if r["stage_partition"] is None),
+            {"leased": 0, "ok": 0, "retried": 0, "failed": 0,
+             "links_total": 0, "cache_new": 0},
+        )
+        part_metric_rows = [
+            [self.iteration, "fetch_parse", int(r["stage_partition"]), int(r["n_rows"])]
+            for r in agg_rows
+            if r["stage_partition"] is not None
+        ]
         _t_agg = _time.time()
         leased = int(frow["leased"] or 0)
         if leased == 0:
@@ -737,12 +956,22 @@ class CrawlEngine:
         links_total = int(frow["links_total"] or 0)
 
         # --- discovered links → claim-on-enqueue dedup ---
+        # TTL mode appends at version iteration+1: a link may RE-claim a
+        # fingerprint leased in THIS batch (its seen claim expired), and the
+        # re-add must not share the row-version key the lease tombstone just
+        # wrote — iteration+1 is provably unused (no visible row can carry a
+        # future iteration).  Without TTL a leased fp can never re-claim, so
+        # the plain current-iteration version stays pinned.
+        ttl_mode = (
+            cfg.seen_ttl_iterations is not None or cfg.seen_ttl_seconds is not None
+        )
+        add_ver = self.iteration + 1 if ttl_mode else self.iteration
         cands = (
             link_candidates_fused(parsed)
             .withColumn("priority", F.lit(cfg.link_priority))
             .withColumn("retry_times", F.lit(0))
             .withColumn("parser_name", F.coalesce(F.col("parser_name"), F.lit(cfg.default_parser)))
-            .withColumn("added_iteration", F.lit(self.iteration))
+            .withColumn("added_iteration", F.lit(add_ver))
             .withColumn("method", F.lit(None).cast("string"))
             .withColumn("payload", F.lit(None).cast("map<string,string>"))
             .withColumn("auto_request", F.coalesce(F.col("auto_request"), F.lit(True)))
@@ -756,7 +985,9 @@ class CrawlEngine:
                 cands = self._apply_robots(cands).observe(
                     kept_obs, F.count(F.lit(1)).alias("n_kept")
                 )
-            new_rows, seen_commit, links_obs, stale = self._claim_new(cands)
+            new_rows, seen_commit, links_obs, stale = self._claim_new(
+                cands, add_version=add_ver
+            )
         else:
             # zero candidate links: skip the dedup machinery entirely — no
             # seen read, no Bloom blobs read/cogroup, no seen commit (the
@@ -771,8 +1002,16 @@ class CrawlEngine:
         n_stale = 0
         if stale is not None and links_total > 0:
             # TTL mode only: count+persist the stale visible rows a re-claim
-            # shadows (bounded by the re-claimed links, usually ~0)
-            stale = stale.persist()
+            # shadows (bounded by the re-claimed links, usually ~0).  Rows
+            # ALSO leased in this batch are excluded: the lease tombstone
+            # already covers them, and a duplicate stale tombstone would
+            # decrement frontier_size twice — the undercount could wrongly
+            # satisfy the whole-frontier fast path and over-lease
+            stale = stale.join(
+                batch.select("fingerprint", "retry_times", "added_iteration"),
+                on=["fingerprint", "retry_times", "added_iteration"],
+                how="left_anti",
+            ).persist()
             n_stale = stale.count()
             if n_stale == 0:
                 stale.unpersist()
@@ -815,15 +1054,6 @@ class CrawlEngine:
             self._items_seen_side(item_rows), on="item_fp", how="left_anti"
         ).select("item_fp", "doc_id", "url", "title", "n_spans")
 
-        # --- per-partition lineage metrics ---
-        part_metrics = (
-            fetched.groupBy(F.col("stage_partition").alias("partition_id"))
-            .agg(F.count("*").alias("rows"))
-            .withColumn("stage", F.lit("fetch_parse"))
-            .withColumn("iteration", F.lit(self.iteration))
-            .select("iteration", "stage", "partition_id", "rows")
-        )
-
         # --- commits; the CHECKPOINT (not commit order) is the atomicity
         # gate — restore rolls every table back to the last complete
         # checkpoint, so the independent table commits run concurrently
@@ -832,7 +1062,9 @@ class CrawlEngine:
         # frontier delta: append the new/retry rows and tombstone the leased
         # row versions — O(batch) write bytes, never an O(frontier) rewrite
         additions = retries.unionByName(new_rows)
-        tombstones = batch.select("fingerprint", "retry_times", "added_iteration")
+        tombstones = batch.select(
+            "fingerprint", "retry_times", "added_iteration", "priority"
+        )
         if n_stale:
             tombstones = tombstones.unionByName(stale)
         self.tombstone_rows += leased + n_stale
@@ -844,14 +1076,10 @@ class CrawlEngine:
         commits = [lambda: seen_commit(links_total, self.iteration)]
         if retried_n > 0 or may_have_new:
             commits.append(
-                lambda: self.t("frontier").commit(
-                    self._sized(additions, retried_n + links_total), mode="append"
-                )
+                lambda: self._commit_frontier_adds(additions, retried_n + links_total)
             )
         commits.append(
-            lambda: self.t("frontier_tombs").commit(
-                self._sized(tombstones, leased + n_stale), mode="append"
-            )
+            lambda: self._commit_frontier_tombs(tombstones, leased + n_stale)
         )
         if fetched_ok > 0:
             commits.append(
@@ -869,6 +1097,7 @@ class CrawlEngine:
                 lambda: self.t("items").commit_append_partitioned(
                     items_new.withColumn("ib", self._item_bucket_col()),
                     "ib",
+                    meta=self._items_meta(),
                     shuffle_to=max(1, min(self.spark.sparkContext.defaultParallelism,
                                           fetched_ok // 100_000 + 1)),
                 )
@@ -890,7 +1119,6 @@ class CrawlEngine:
                 mode="append",
             )
         )
-        commits.append(lambda: self.t("metrics_partitions").commit(self._sized(part_metrics, 64), mode="append"))
         if accrued is not None:
             leased_ph = batch.groupBy("host").agg(F.count("*").alias("n_leased"))
             new_state = self._buckets.spend(accrued, leased_ph)
@@ -945,9 +1173,12 @@ class CrawlEngine:
         )
         self.iteration += 1
         self.next_seq += leased
-        # iteration summary travels in the checkpoint label (no Spark job);
-        # the metrics table is materialized from the labels at end of run()
-        self.store.checkpoint(self._label(stats=st.__dict__), TABLES)
+        # iteration summary + per-partition lineage travel in the checkpoint
+        # label (no Spark job); the metrics/metrics_partitions tables are
+        # materialized from the labels at end of run()
+        self.store.checkpoint(
+            self._label(stats=st.__dict__, part_metrics=part_metric_rows), TABLES
+        )
         if _TRACE:
             _t_end = _time.time()
             print(
@@ -982,10 +1213,8 @@ class CrawlEngine:
         maintenance, like Iceberg rewrite_data_files), so crawl semantics
         are unaffected; runs when tombstones outgrow the visible frontier."""
         visible = self._read_frontier()
-        self.t("frontier").commit(self._sized(visible, self.frontier_size), mode="overwrite")
-        self.t("frontier_tombs").commit(
-            self.spark.createDataFrame([], TOMBS_DDL), mode="overwrite"
-        )
+        self._commit_frontier_adds(visible, self.frontier_size, mode="overwrite")
+        self._commit_frontier_tombs(self._empty_tombs(), 0, mode="overwrite")
         self.tombstone_rows = 0
         self.store.checkpoint(self._label(compacted=True), TABLES)
 
@@ -1020,7 +1249,7 @@ class CrawlEngine:
         HandleFailedRequests.reput semantics (core/handle_failed_requests.py:
         29-54; retries bypass the dedup filter, parser_control.py:347).
         Clears the failed table.  Returns the number re-enqueued."""
-        failed = self.t("failed").read().persist()
+        failed = self._backfill_columns(self.t("failed").read(), FAILED_DDL).persist()
         n = failed.count()
         if n == 0:
             failed.unpersist()
@@ -1037,7 +1266,7 @@ class CrawlEngine:
             .select(*self._frontier_cols())
         )
         self.frontier_size += n
-        self.t("frontier").commit(self._sized(revived, n), mode="append")
+        self._commit_frontier_adds(revived, n)
         self.t("failed").commit(
             self.spark.createDataFrame([], FAILED_DDL), mode="overwrite"
         )
@@ -1046,9 +1275,11 @@ class CrawlEngine:
         return n
 
     def flush_metrics(self) -> None:
-        """Materialize the metrics table from the checkpoint labels
-        (overwrite — idempotent across resumes and crashes)."""
+        """Materialize the metrics and metrics_partitions tables from the
+        checkpoint labels (overwrite — idempotent across resumes and
+        crashes; zero per-iteration Spark writes for either)."""
         rows = []
+        prows = []
         for ckpt in self.store.list_checkpoints():
             stx = ckpt["label"].get("stats")
             if stx:
@@ -1059,5 +1290,10 @@ class CrawlEngine:
                         stx["failed"],
                     )
                 )
+            prows.extend(tuple(p) for p in ckpt["label"].get("part_metrics", []))
         if rows:
             self.t("metrics").commit(self.spark.createDataFrame(rows, METRICS_DDL), mode="overwrite")
+        if prows:
+            self.t("metrics_partitions").commit(
+                self.spark.createDataFrame(prows, PART_METRICS_DDL), mode="overwrite"
+            )

@@ -137,7 +137,13 @@ def fetch_parse_batch(
     ``fn(req_dict) -> dict | None`` where the dict may override
     url/method/data for the fetch.  As in the reference, the request's
     IDENTITY (fingerprint, url_canon) is unchanged — the midware only shapes
-    the outgoing fetch (headers/proxy-style rewrites).
+    the outgoing fetch (headers/proxy-style rewrites).  The dict may instead
+    carry ``"response": (status_code, html)`` — a midware-SUPPLIED response
+    that skips the download entirely, mirroring the reference's
+    download-midware-returns-(request, response) pattern
+    (parser_control.py:509-530: a user midware may hand back a prefetched/
+    mocked Response and the downloader is bypassed); validate and parse run
+    on it exactly as on a fetched response.
     """
     import json as _json
 
@@ -188,11 +194,14 @@ def fetch_parse_batch(
                 rp, row_validate, cb_missing = dispatch(pname, cb)
                 from_cache = use_cache and c_status is not None and not pd.isna(c_status)
                 fetch_url, fetch_method, fetch_data = url, method, data
+                supplied = None  # midware-supplied (status, html), skips fetch
                 if download_midware is not None and not from_cache and not ar_skip:
                     mw = download_midware(
                         {"url": fetch_url, "method": fetch_method, "data": fetch_data}
                     )
                     if isinstance(mw, dict):
+                        if mw.get("response") is not None:
+                            supplied = mw["response"]
                         fetch_url = mw.get("url", fetch_url)
                         fetch_method = mw.get("method", fetch_method)
                         fetch_data = mw.get("data", fetch_data)
@@ -200,6 +209,10 @@ def fetch_parse_batch(
                     # auto_request=False: no download, the callback receives
                     # response=None (parser_control.py:96,162-163)
                     status, raw = 200, None
+                elif supplied is not None:
+                    # midware supplied the response — downloader bypassed
+                    # (parser_control.py:509-530)
+                    status, raw = int(supplied[0]), supplied[1]
                 elif from_cache:
                     status, raw = int(c_status), c_content
                 elif fetch_method is not None or fetch_data is not None:

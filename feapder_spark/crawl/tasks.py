@@ -55,11 +55,13 @@ class TaskManager:
     (operators/merge.merge_update) broadcasts the ≤10k-row source, matching
     the reference's 10k claim chunks (task_spider.py:363-396).
 
-    The READ side prunes too: each commit maintains per-bucket todo/claimed
-    counts in the manifest meta (Iceberg partition-stats parity), so
-    ``claim_batch`` opens only buckets with todo>0 and the lost-task scans
-    only buckets with claimed>0 — near the end of a 10^8-task batch the claim
-    reads a handful of dirs, not every bucket."""
+    The READ side prunes too: each commit maintains per-bucket
+    [todo, claimed, done, failed] counts in the manifest meta (Iceberg
+    partition-stats parity), so ``claim_batch`` opens only buckets with
+    todo>0, the lost-task scans only buckets with claimed>0, and ``rollup``
+    is a driver-side dict sum with zero Spark jobs — near the end of a
+    10^8-task batch the claim reads a handful of dirs, not every bucket, and
+    the monitor tick reads none."""
 
     def __init__(self, spark: SparkSession, store: SnapshotStore, table: str = "tasks",
                  n_buckets: int = 16):
@@ -69,6 +71,16 @@ class TaskManager:
         self.table = store.table(table)
         if not self.table.exists():
             self.table.create_empty(TASKS_DDL)
+        # bucket placement is a pure function of (id, n_buckets); resuming a
+        # store under a different modulus would prune reads by the wrong
+        # bucket ids and silently skip rows — refuse loudly instead
+        m = self.table.manifest()
+        rec = (m.meta or {}).get("bucket_modulus") if m else None
+        if rec is not None and int(rec) != n_buckets:
+            raise ValueError(
+                f"task table was committed with n_buckets={rec}; resuming with "
+                f"{n_buckets} would mis-prune bucket reads — keep the original"
+            )
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -87,12 +99,16 @@ class TaskManager:
         wb = self._with_bucket(df).persist()
         # per-bucket state counts ride the commit (≤n_buckets tiny rows, over
         # the frame the write is about to materialize anyway); untouched
-        # buckets carry their previous counts forward
+        # buckets carry their previous counts forward.  All four states are
+        # counted so rollup() can be served driver-side (Iceberg
+        # partition-stats parity) — see :meth:`rollup`.
         counts = {
-            str(r.bucket): [int(r.todo), int(r.claimed)]
+            str(r.bucket): [int(r.todo), int(r.claimed), int(r.done), int(r.failed)]
             for r in wb.groupBy("bucket").agg(
                 F.sum((F.col("state") == TODO).cast("long")).alias("todo"),
                 F.sum((F.col("state") == CLAIMED).cast("long")).alias("claimed"),
+                F.sum((F.col("state") == DONE).cast("long")).alias("done"),
+                F.sum((F.col("state") == FAILED).cast("long")).alias("failed"),
             ).collect()
         }
         prev = self.table.manifest()
@@ -101,18 +117,26 @@ class TaskManager:
         # one write task per touched bucket: colocated buckets emit one
         # healthy file each instead of input-partitions x buckets shards
         self.table.commit_partitions(
-            wb, "bucket", meta={"state_counts": merged}, shuffle_to=max(1, len(counts))
+            wb, "bucket",
+            meta={"state_counts": merged, "bucket_modulus": self.n_buckets},
+            shuffle_to=max(1, len(counts)),
         )
         wb.unpersist()
 
     def _buckets_in_state(self, idx: int) -> list[int] | None:
         """Buckets whose manifest stats show rows in the given state slot
-        (0=todo, 1=claimed); None = no stats recorded (read everything)."""
+        (0=todo, 1=claimed, 2=done, 3=failed); None = no stats recorded
+        (read everything).  Buckets present in the partition map but ABSENT
+        from the stats (pre-existing data committed outside _commit_buckets)
+        are always included: their state mix is unknown, and treating them as
+        empty would strand legacy todo/claimed rows forever."""
         m = self.table.manifest()
         sc = (m.meta or {}).get("state_counts") if m else None
         if sc is None:
             return None
-        return [int(b) for b, c in sc.items() if c[idx] > 0]
+        keys = [int(b) for b, c in sc.items() if idx < len(c) and c[idx] > 0]
+        keys += [int(b) for b in (m.partitions or {}) if b not in sc]
+        return keys
 
     def _state_frame(self, state: int, idx: int) -> DataFrame:
         keys = self._buckets_in_state(idx)
@@ -187,10 +211,34 @@ class TaskManager:
         self._commit_buckets(updated)
 
     # -- rollups ---------------------------------------------------------------
-    def rollup(self) -> dict:
-        """state → count (batch_spider.py:419-437, A1)."""
-        rows = self.read().groupBy("state").agg(F.count("*").alias("n")).collect()
-        counts = {r.state: r.n for r in rows}
+    def rollup(self, verify: bool = False) -> dict:
+        """state → count (batch_spider.py:419-437, A1).
+
+        Served from the manifest's per-bucket state counts when they cover
+        every partition — a driver-side dict sum, ZERO Spark jobs, so the
+        monitor loop's per-tick calls (check_batch/update_progress) stop
+        scanning a 10^8-row task table.  Falls back to the groupBy scan when
+        stats are missing/partial (legacy stores, pre-4-state counts), or
+        when ``verify=True`` — the reference's double-check-under-lock before
+        declaring a batch done (batch_spider.py:632-639)."""
+        m = self.table.manifest()
+        sc = (m.meta or {}).get("state_counts") if m else None
+        stats_complete = (
+            not verify
+            and sc is not None
+            and not (m.segments or [])
+            and all(len(c) >= 4 for c in sc.values())
+            and all(b in sc for b in (m.partitions or {}))
+        )
+        if stats_complete:
+            counts = {}
+            for state, idx in ((TODO, 0), (CLAIMED, 1), (DONE, 2), (FAILED, 3)):
+                n = sum(c[idx] for c in sc.values())
+                if n:
+                    counts[state] = n
+        else:
+            rows = self.read().groupBy("state").agg(F.count("*").alias("n")).collect()
+            counts = {r.state: r.n for r in rows}
         total = sum(counts.values())
         done = counts.get(DONE, 0) + counts.get(FAILED, 0)
         return {"total": total, "done": done, "failed": counts.get(FAILED, 0), "by_state": counts}

@@ -186,9 +186,126 @@ class BloomSeenSet:
         new_blobs = touched.unionByName(untouched)
         return results, new_blobs, touched
 
+    def claim_new(
+        self,
+        keyed: DataFrame,
+        blobs: DataFrame,
+        fp_col: str = FP_COL,
+        order_cols: Iterable[str] = ("priority", "url"),
+    ) -> tuple[DataFrame, DataFrame]:
+        """FUSED claim-on-enqueue for the Bloom path: in-batch first-dedup +
+        membership check + bit insert in ONE cogrouped pass.
+
+        Replaces the three-stage chain (dedup_first groupBy → cogroup →
+        results⨝firsts join) with a single shuffle per side: candidates
+        hash to their bucket once, each bucket's pandas group dedups
+        in-batch (stable sort on ``order_cols``, first per fingerprint —
+        same contract as :func:`dedup_first`; in-bucket is whole-batch
+        because the bucket is a pure function of the fingerprint), then
+        checks and inserts against the bucket's generation chain.
+
+        ``keyed`` must carry a ``bucket`` column (:meth:`bucket_col`) plus
+        ``order_cols``.  Returns ``(new_rows, changed_blobs)``:
+
+        - ``new_rows``: the candidate rows (all input columns) that are
+          first-in-batch AND absent from the set.
+        - ``changed_blobs``: blobs of ONLY the buckets whose bits actually
+          changed (≥1 key inserted).  Dup-only buckets are NOT emitted, so a
+          dup-heavy crawl iteration rewrites ~no blob bytes — the write-side
+          analogue of the touched-bucket read pruning (a rotation with zero
+          inserts leaves membership identical, so it is also elided and
+          simply re-derived next time).
+        """
+        cap, err = self.capacity_per_bucket, self.error_rate
+        order = list(order_cols)
+
+        cand_buckets = keyed.select("bucket").distinct()
+        blobs_in = blobs.join(cand_buckets, on="bucket", how="left_semi")
+        from pyspark.sql import types as T
+
+        # every field nullable: the blob rows carry NULLs in the candidate
+        # columns (literal-derived inputs are non-nullable and would NPE in
+        # the unsafe projection otherwise)
+        out_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in keyed.schema.fields]
+            + [
+                T.StructField("_kind", T.StringType(), True),
+                T.StructField("_generation", T.IntegerType(), True),
+                T.StructField("_bits", T.BinaryType(), True),
+            ]
+        )
+        data_cols = keyed.columns
+
+        def per_bucket(key, cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(cand_pdf):
+                return pd.DataFrame(columns=data_cols + ["_kind", "_generation", "_bits"])
+            gens: list[BloomKernel] = []
+            if len(blob_pdf):
+                blob_pdf = blob_pdf.sort_values("generation")
+                for _, row in blob_pdf.iterrows():
+                    gens.append(BloomKernel.from_bytes(bytes(row["bits"]), cap, err))
+            if not gens:
+                gens.append(BloomKernel(cap, err))
+            # rotate first, like ScalableBloomFilter.check_filter_capacity
+            if gens[-1].is_at_capacity():
+                gens.append(BloomKernel(cap, err))
+            # in-batch first per fingerprint (dedup_first contract): stable
+            # sort on order_cols, keep the first occurrence
+            cand_pdf = cand_pdf.sort_values(order, kind="mergesort").drop_duplicates(
+                fp_col
+            )
+            keys = cand_pdf[fp_col].tolist()
+            import numpy as np
+
+            exists = np.zeros(len(keys), dtype=bool)
+            for g in reversed(gens):
+                pending = [i for i in range(len(keys)) if not exists[i]]
+                if not pending:
+                    break
+                hit = g.contains([keys[i] for i in pending])
+                for i, h in zip(pending, hit):
+                    exists[i] = h
+            new_pdf = cand_pdf[~exists].copy()
+            new_pdf["_kind"] = "r"
+            new_pdf["_generation"] = None
+            new_pdf["_bits"] = None
+            frames = [new_pdf]
+            if len(new_pdf):
+                gens[-1].add(new_pdf[fp_col].tolist())
+                blob_rows = pd.DataFrame(
+                    {c: [None] * len(gens) for c in data_cols}
+                    | {
+                        "bucket": [int(key[0])] * len(gens),
+                        "_kind": ["b"] * len(gens),
+                        "_generation": list(range(len(gens))),
+                        "_bits": [g.to_bytes() for g in gens],
+                    }
+                )
+                frames.append(blob_rows)
+            return pd.concat(frames, ignore_index=True)[
+                data_cols + ["_kind", "_generation", "_bits"]
+            ]
+
+        out = (
+            keyed.groupBy("bucket")
+            .cogroup(blobs_in.groupBy("bucket"))
+            .applyInPandas(per_bucket, schema=out_schema)
+            .persist()
+        )
+        self._last_out = out
+        new_rows = out.filter(F.col("_kind") == "r").drop(
+            "_kind", "_generation", "_bits", "bucket"
+        )
+        changed = out.filter(F.col("_kind") == "b").select(
+            "bucket",
+            F.col("_generation").alias("generation"),
+            F.col("_bits").alias("bits"),
+        )
+        return new_rows, changed
+
     def release(self) -> None:
-        """Unpersist the cogroup output of the last check_and_add (call after
-        downstream results/blobs have been committed)."""
+        """Unpersist the cogroup output of the last check_and_add/claim_new
+        (call after downstream results/blobs have been committed)."""
         out = getattr(self, "_last_out", None)
         if out is not None:
             out.unpersist()

@@ -266,6 +266,9 @@ class SnapshotTable:
         partition_col: str,
         meta: dict | None = None,
         shuffle_to: int | None = None,
+        mode: str = "append",
+        count_rows: bool = False,
+        salt_col=None,
     ) -> int:
         """Append one segment hive-partitioned by ``partition_col`` and record
         its per-key leaf dirs in the manifest, so later reads can prune to a
@@ -282,6 +285,21 @@ class SnapshotTable:
         colocated and ``partitionBy`` emits ≤1 file per (task ∩ bucket)
         instead of the input-partitions × buckets small-file explosion —
         pass the same right-sizing count used for plain commits.
+
+        ``mode='overwrite'`` replaces every prior segment with this one
+        (compaction commits); ``count_rows=True`` additionally records
+        cumulative per-key row counts in ``meta['part_rows']`` (read from the
+        just-written parquet footers, driver-side — the stand-in for the
+        per-partition record counts an Iceberg manifest carries for free).
+        An append WITHOUT ``count_rows`` drops any prior ``part_rows`` (the
+        totals would be stale) unless the caller passes their own.
+
+        ``salt_col``: extra shuffle-key column for LOW-cardinality partition
+        keys — hashing on ``pb`` alone collapses a one-band mega-batch into
+        a single write task; a salt bounded by ``shuffle_to`` keeps ≤
+        shuffle_to files per key while spreading the write across tasks.
+        Leave None for high-cardinality keys (items/tasks buckets), where
+        pb-only hashing gives one healthy file per bucket.
         """
         prev = self.manifest()
         version = (prev.version + 1) if prev else 0
@@ -290,6 +308,8 @@ class SnapshotTable:
                 f"table {self.name} is in partition-overwrite mode; "
                 "use commit_partitions"
             )
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown commit mode {mode!r}")
         seg = f"v{version}-{uuid.uuid4().hex[:8]}"
         seg_path = os.path.join(self.root, "data", seg)
         from pyspark.sql import functions as F
@@ -297,17 +317,45 @@ class SnapshotTable:
         schema_ddl = df.drop(partition_col)._jdf.schema().toDDL()
         out = df.withColumn("pb", F.col(partition_col).cast("string")).drop(partition_col)
         if shuffle_to is not None:
-            out = out.repartition(max(1, shuffle_to), F.col("pb"))
+            keys = [F.col("pb")] + ([salt_col] if salt_col is not None else [])
+            out = out.repartition(max(1, shuffle_to), *keys)
         out.write.mode("overwrite").partitionBy("pb").parquet(seg_path)
         written = {
             d.split("=", 1)[1]: f"{seg}/{d}"
             for d in os.listdir(seg_path)
             if d.startswith("pb=")
         }
-        segments = (prev.segments if prev else []) + [seg]
-        seg_parts = dict(prev.seg_parts) if prev and prev.seg_parts else {}
+        if mode == "append":
+            segments = (prev.segments if prev else []) + [seg]
+            seg_parts = dict(prev.seg_parts) if prev and prev.seg_parts else {}
+        else:
+            segments = [seg]
+            seg_parts = {}
         seg_parts[seg] = written
-        man = Manifest(version, schema_ddl, segments, meta or {}, None, seg_parts)
+        meta = dict(meta or {})
+        if count_rows:
+            import pyarrow.parquet as _pq
+
+            prev_meta = (prev.meta or {}) if prev else {}
+            carry = prev is not None and mode == "append" and bool(prev.segments)
+            part_rows = dict(prev_meta.get("part_rows", {})) if carry else {}
+            # counts are only trustworthy if every prior segment was counted
+            # too — a gap (prior uncounted append) must poison the totals
+            # visibly, not silently under-count
+            complete = (not carry) or (
+                "part_rows" in prev_meta and prev_meta.get("part_rows_complete", True)
+            )
+            for k, rel in written.items():
+                leaf = os.path.join(self.root, "data", rel)
+                n = sum(
+                    _pq.read_metadata(os.path.join(leaf, f)).num_rows
+                    for f in os.listdir(leaf)
+                    if f.endswith(".parquet")
+                )
+                part_rows[k] = part_rows.get(k, 0) + n
+            meta["part_rows"] = part_rows
+            meta["part_rows_complete"] = complete
+        man = Manifest(version, schema_ddl, segments, meta, None, seg_parts)
         _atomic_write(os.path.join(self.root, "_versions", f"{version}.json"), man.to_json())
         _atomic_write(self._pointer, str(version))
         return version

@@ -84,7 +84,12 @@ def test_ttl_reclaim_replaces_stale_visible_row(spark, tmp_path):
     fp = get_md5(canonicalize_url("http://host-1.test/page-0"))
     visible = engine.frontier().filter(F.col("fingerprint") == fp).collect()
     assert len(visible) == 1, f"duplicate visible rows for re-claimed fp: {visible}"
-    assert visible[0].added_iteration == 2  # the re-claim's row, not iter 0's
+    # the re-claim's row, not iter 0's.  TTL-mode links append at row version
+    # iteration+1 (= 3 for the re-claim at iteration 2) so a re-claim of a
+    # fingerprint leased in the SAME batch can never share the row-version
+    # key its lease tombstone just wrote (ADVICE r4) — the version constant
+    # is the only thing that changed; replace semantics are identical.
+    assert visible[0].added_iteration == 3
 
     golden = run_oracle(
         web, seeds, batch_size=2, politeness=pol, seen_ttl_iterations=2,

@@ -56,8 +56,11 @@ def test_items_dedup_read_prunes_to_batch_buckets(spark, tmp_path):
         F.lit(1).cast("int").alias("n_spans"),
     )
     seeded = bulk.unionByName(real_items.select(*bulk.columns))
+    # the modulus the placement keys were computed with must ride the commit
+    # (ADVICE r4): without it the engine assumes unknown placement and reads
+    # the whole table rather than risk a silent dedup miss
     e2.t("items").commit_append_partitioned(
-        seeded.withColumn("ib", e2._item_bucket_col()), "ib"
+        seeded.withColumn("ib", e2._item_bucket_col()), "ib", meta=e2._items_meta()
     )
     assert e2.t("items").leaf_partition_count() > cfg.items_prune_min_leaf_parts
 
