@@ -294,22 +294,19 @@ class CrawlEngine:
     # 10^10-row frontier to lease 10^6 rows.
 
     def _commit_frontier_adds(self, df: DataFrame, n_bound: int, mode: str = "append") -> None:
-        target = self._target(n_bound)
+        # bands are LOW cardinality (often one), so the pre-write sizing is a
+        # narrow coalesce — no shuffle, ≤ target files per band (hashing on
+        # the band would collapse a one-band mega-batch into a single task)
         self.t("frontier").commit_append_partitioned(
             df.withColumn("band", F.col("priority")), "band",
-            shuffle_to=target, count_rows=True, mode=mode,
-            # bands are LOW cardinality (often one): salt the shuffle so a
-            # one-band mega-batch still writes with full parallelism
-            salt_col=F.pmod(F.xxhash64("fingerprint"), F.lit(target)),
+            coalesce_to=self._target(n_bound), count_rows=True, mode=mode,
         )
 
     def _commit_frontier_tombs(self, df_with_priority: DataFrame, n_bound: int,
                                mode: str = "append") -> None:
-        target = self._target(n_bound)
         self.t("frontier_tombs").commit_append_partitioned(
             df_with_priority.withColumn("band", F.col("priority")).drop("priority"),
-            "band", shuffle_to=target, count_rows=True, mode=mode,
-            salt_col=F.pmod(F.xxhash64("fingerprint"), F.lit(target)),
+            "band", coalesce_to=self._target(n_bound), count_rows=True, mode=mode,
         )
 
     def _empty_tombs(self) -> DataFrame:

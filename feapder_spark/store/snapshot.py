@@ -268,7 +268,7 @@ class SnapshotTable:
         shuffle_to: int | None = None,
         mode: str = "append",
         count_rows: bool = False,
-        salt_col=None,
+        coalesce_to: int | None = None,
     ) -> int:
         """Append one segment hive-partitioned by ``partition_col`` and record
         its per-key leaf dirs in the manifest, so later reads can prune to a
@@ -294,12 +294,14 @@ class SnapshotTable:
         An append WITHOUT ``count_rows`` drops any prior ``part_rows`` (the
         totals would be stale) unless the caller passes their own.
 
-        ``salt_col``: extra shuffle-key column for LOW-cardinality partition
-        keys — hashing on ``pb`` alone collapses a one-band mega-batch into
-        a single write task; a salt bounded by ``shuffle_to`` keeps ≤
-        shuffle_to files per key while spreading the write across tasks.
-        Leave None for high-cardinality keys (items/tasks buckets), where
-        pb-only hashing gives one healthy file per bucket.
+        ``coalesce_to``: for LOW-cardinality partition keys (the frontier's
+        priority bands — often ONE band), hash-partitioning on ``pb`` would
+        collapse the whole frame into a single write task; a narrow
+        ``coalesce`` keeps full write parallelism with NO shuffle and emits
+        ≤ coalesce_to files per key — the right-sizing rule of plain
+        commits.  Use ``shuffle_to`` instead for high-cardinality keys
+        (items/tasks buckets), where colocation matters more than the
+        shuffle (one healthy file per bucket vs tasks x buckets shards).
         """
         prev = self.manifest()
         version = (prev.version + 1) if prev else 0
@@ -317,8 +319,9 @@ class SnapshotTable:
         schema_ddl = df.drop(partition_col)._jdf.schema().toDDL()
         out = df.withColumn("pb", F.col(partition_col).cast("string")).drop(partition_col)
         if shuffle_to is not None:
-            keys = [F.col("pb")] + ([salt_col] if salt_col is not None else [])
-            out = out.repartition(max(1, shuffle_to), *keys)
+            out = out.repartition(max(1, shuffle_to), F.col("pb"))
+        elif coalesce_to is not None:
+            out = out.coalesce(max(1, coalesce_to))
         out.write.mode("overwrite").partitionBy("pb").parquet(seg_path)
         written = {
             d.split("=", 1)[1]: f"{seg}/{d}"
