@@ -1068,13 +1068,20 @@ class CrawlEngine:
 
         # links_new > 0 requires candidates, i.e. links_total > 0; the
         # additions commit is the job that materializes new_rows and fires
-        # the links Observation
+        # the links Observation.  The seen commit scans the SAME persisted
+        # new_rows frame — chain it AFTER the additions commit in one pool
+        # thread, so the first job materializes the cache and the second
+        # reads it hot, instead of two concurrent jobs both computing the
+        # multi-million-row candidate dedup before the cache exists.
         may_have_new = links_total > 0
-        commits = [lambda: seen_commit(links_total, self.iteration)]
         if retried_n > 0 or may_have_new:
-            commits.append(
-                lambda: self._commit_frontier_adds(additions, retried_n + links_total)
-            )
+            def _adds_then_seen():
+                self._commit_frontier_adds(additions, retried_n + links_total)
+                seen_commit(links_total, self.iteration)
+
+            commits = [_adds_then_seen]
+        else:
+            commits = [lambda: seen_commit(links_total, self.iteration)]
         commits.append(
             lambda: self._commit_frontier_tombs(tombstones, leased + n_stale)
         )

@@ -844,6 +844,52 @@ def frontier_delta_visibility(spark, sf_dir):
     )
 
 
+@register(
+    "frontier_band_counts",
+    """
+    WITH adds AS (
+      SELECT l_orderkey AS fingerprint, l_linenumber AS retry_times,
+             CAST(l_suppkey % 5 AS INTEGER) AS added_iteration,
+             CAST(l_partkey % 7 AS INTEGER) AS band
+      FROM lineitem),
+    tombs AS (
+      SELECT o_orderkey AS fingerprint, 1 AS retry_times,
+             CAST(o_custkey % 5 AS INTEGER) AS added_iteration
+      FROM orders WHERE o_orderstatus = 'F')
+    SELECT band, count(*) AS n_visible
+    FROM adds a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM tombs t
+      WHERE t.fingerprint = a.fingerprint AND t.retry_times = a.retry_times
+        AND t.added_iteration = a.added_iteration)
+    GROUP BY band
+    """,
+)
+def frontier_band_counts(spark, sf_dir):
+    """Per-band visible frontier counts — the quantity the banded lease read
+    prunes on (engine._lease_band_keys): visible rows (adds ⟕anti
+    tombstones) grouped by the lease band.  In the engine this aggregate
+    comes free from manifest meta (part_rows, maintained at commit); this
+    query is the semantic contract those counts must satisfy."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    adds = li.select(
+        F.col("l_orderkey").alias("fingerprint"),
+        F.col("l_linenumber").alias("retry_times"),
+        (F.col("l_suppkey") % 5).cast("int").alias("added_iteration"),
+        (F.col("l_partkey") % 7).cast("int").alias("band"),
+    )
+    tombs = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("fingerprint"),
+        F.lit(1).alias("retry_times"),
+        (F.col("o_custkey") % 5).cast("int").alias("added_iteration"),
+    )
+    visible = adds.join(
+        tombs, on=["fingerprint", "retry_times", "added_iteration"], how="left_anti"
+    )
+    return visible.groupBy("band").agg(F.count(F.lit(1)).alias("n_visible"))
+
+
 def _band_sql(t: int, n_bits: int = 4) -> str:
     return " + ".join(
         f"(CASE WHEN emb[{t * n_bits + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"

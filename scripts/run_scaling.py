@@ -64,6 +64,33 @@ E[bucket]~=32 held constant), turning the 10x scale-up into 1.79x.
 superlinearly more genuinely-similar pairs — cross-shard vocab overlap —
 so the verify stage has more real work, not a plan regression; its
 candidate generation and verify are both hash joins.)
+
+## 4. Round-4 notes (measured 2026-08-17, pinned)
+
+- Full-loop N->4N margin trend on the IDENTICAL 528k protocol:
+  r3 = 0.816 -> r4 = **0.840** (data-plane 0.898 -> **0.982**).  The r4
+  canary FELL across the run (576 -> 412), and the local[2] levels ran
+  first, so the efficiency is if anything understated.  What moved:
+  metrics_partitions' per-iteration Spark write was folded into the
+  checkpoint labels, the per-partition lineage agg merged into the one
+  rollup job, and the seen commit is chained after the frontier-adds
+  commit in one pool thread (the two scanned the same persisted-but-not-
+  yet-materialized new_rows frame CONCURRENTLY, both computing the 2.7M-
+  candidate dedup; chaining made the second read a hot cache:
+  commits phase 13.3 s -> 10.3 s at local[8]).
+- The residual below data-plane scaling is the commits phase (trace:
+  29.2 s at local[2] vs 10.3 s at local[8] = 0.71 phase efficiency) —
+  dominated by the ~5 GB docs parquet write, which is DISK-bound on this
+  one-box sandbox; on a real cluster each executor writes its own shard
+  and the phase scales with the cluster, not one disk.
+- Bloom-vs-exact at the 6k pair (r2 bar: >=0.95x): five warm same-session
+  pairs measured ratios 0.97 / 0.74 / 1.54 / 1.85 / 1.43 — median 1.43,
+  i.e. the FUSED bloom claim (one cogroup, in-batch dedup inside the
+  pandas group, changed-only blob writes) now meets/beats exact; under
+  slow-disk host phases bloom wins outright because dup-heavy iterations
+  write ~no blob bytes while exact always appends its fingerprints.
+  The spread is host variance (the canary swung 523 -> 611 within the
+  same session), not engine nondeterminism.
 """
 
 
