@@ -134,6 +134,11 @@ class CrawlConfig:
     # frontier tombstone compaction: fold the delta log back into the adds
     # table when tombstones exceed max(this floor, visible frontier size)
     compact_min_tombstones: int = 100_000
+    # ALSO compact when the adds table accumulates this many append segments
+    # (one per commit): on a huge frontier the tombstone threshold fires
+    # rarely, while per-band FILE counts grow with every iteration — this
+    # bounds them independently (Iceberg rewrite_data_files cadence)
+    compact_min_segments: int = 512
     # ExpireFilter semantics (dedup/expirefilter.py:17-81): a claimed
     # fingerprint stops deduping after the TTL, so the URL re-crawls.
     # seen_ttl_iterations is the deterministic loop unit (mirrored by the
@@ -1200,7 +1205,13 @@ class CrawlEngine:
             routed.unpersist()
         if accrued is not None:
             accrued.unpersist()
+        m_adds = self.t("frontier").manifest()
         if self.tombstone_rows >= max(self.cfg.compact_min_tombstones, self.frontier_size):
+            self.compact_frontier()
+        elif m_adds is not None and len(m_adds.segments or []) >= self.cfg.compact_min_segments:
+            # segment-count trigger: on a huge frontier the tombstone
+            # threshold fires rarely while per-band file counts grow every
+            # iteration — fold them independently
             self.compact_frontier()
         return st
 
@@ -1221,6 +1232,27 @@ class CrawlEngine:
         self._commit_frontier_tombs(self._empty_tombs(), 0, mode="overwrite")
         self.tombstone_rows = 0
         self.store.checkpoint(self._label(compacted=True), TABLES)
+
+    def compact_items(self) -> None:
+        """Items-table compaction (Iceberg ``rewrite_data_files`` parity):
+        fold the per-iteration append segments into ONE segment with one
+        healthy file per bucket — per-bucket file counts otherwise grow
+        linearly with crawl iterations.  Rows re-place under the CURRENT
+        items_buckets modulus, which also heals a mixed-modulus history
+        (the recovery path after _items_pruning_safe() falls back to
+        unpruned reads).  Explicit maintenance, like expire_snapshots."""
+        t = self.t("items")
+        m = t.manifest()
+        if m is None or len(m.segments or []) <= 1:
+            return
+        t.rewrite_data_files(
+            self._item_bucket_col(),
+            meta={"bucket_modulus": self.cfg.items_buckets},
+            shuffle_to=min(
+                self.spark.sparkContext.defaultParallelism, self.cfg.items_buckets
+            ),
+        )
+        self.store.checkpoint(self._label(compacted_items=True), TABLES)
 
     def health_check(self, failed_threshold: int = 1000, min_success_rate: float = 0.5) -> list[str]:
         """Stall/alarm monitors (scheduler.py:321-405): too many failures,

@@ -427,6 +427,33 @@ class SnapshotTable:
         _atomic_write(self._pointer, str(version))
         return version
 
+    def rewrite_data_files(
+        self,
+        partition_col_expr,
+        meta: dict | None = None,
+        shuffle_to: int | None = None,
+        count_rows: bool = False,
+    ) -> int:
+        """Compact every appended segment into ONE hive-partitioned segment —
+        Iceberg's ``rewrite_data_files`` (bin-packing compaction) on the
+        parquet store.  An append-partitioned table gains a segment per
+        commit, so per-key file counts grow linearly with iterations; this
+        folds them back to O(1) per key.  The visible rows are unchanged
+        (pure maintenance).
+
+        ``partition_col_expr`` recomputes the placement key from data
+        columns (it was dropped from the schema at commit time) — e.g.
+        ``pmod(xxhash64(item_fp), B)``.  Rows therefore re-place under the
+        CURRENT expression, which also heals a mixed-modulus history.
+        ``count_rows`` refreshes per-key row counts (part_rows) when the
+        table maintains them.
+        """
+        df = self.read().withColumn("_pc", partition_col_expr)
+        return self.commit_append_partitioned(
+            df, "_pc", meta=meta, shuffle_to=shuffle_to,
+            mode="overwrite", count_rows=count_rows,
+        )
+
     def create_empty(self, schema_ddl: str) -> int:
         """Commit version 0 with zero segments and a pinned schema."""
         man = Manifest(0, schema_ddl, [], {})

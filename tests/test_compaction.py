@@ -1,0 +1,69 @@
+"""Storage compaction (Iceberg rewrite_data_files parity): append-partitioned
+tables gain a segment per commit, so per-bucket file counts grow linearly
+with iterations — compaction folds them back to O(1) per key without
+changing the visible rows."""
+
+from pyspark.sql import functions as F
+
+from feapder_spark.crawl.engine import CrawlConfig, CrawlEngine
+from feapder_spark.crawl.synthweb import SyntheticWeb
+
+
+def _web():
+    return SyntheticWeb(n_hosts=2, pages_per_host=6, seed=42)
+
+
+def test_compact_items_folds_segments_and_heals_modulus(spark, tmp_path):
+    web = _web()
+    cfg8 = CrawlConfig(batch_size=4, items_buckets=8, items_prune_min_leaf_parts=0)
+    e1 = CrawlEngine(spark, str(tmp_path), web, cfg8)
+    e1.seed([{"url": web.url(h, p)} for h in range(2) for p in range(4)])
+    e1.run(max_iterations=3)
+    before = {tuple(r) for r in e1.t("items").read().collect()}
+    assert len(e1.t("items").manifest().segments) > 1
+
+    # resume under a DIFFERENT modulus: pruning disabled (mixed history)…
+    cfg4 = CrawlConfig(batch_size=4, items_buckets=4, items_prune_min_leaf_parts=0)
+    e2 = CrawlEngine(spark, str(tmp_path), web, cfg4)
+    assert not e2._items_pruning_safe()
+    # …and compaction re-places every row under the current modulus,
+    # restoring pruned reads
+    e2.compact_items()
+    m = e2.t("items").manifest()
+    assert len(m.segments) == 1
+    assert (m.meta or {}).get("bucket_modulus") == 4
+    assert not (m.meta or {}).get("bucket_modulus_mixed")
+    assert e2._items_pruning_safe()
+    after = {tuple(r) for r in e2.t("items").read().collect()}
+    assert after == before, "compaction must not change the visible rows"
+    assert e2.t("items").leaf_partition_count() <= 4
+    # idempotent / no-op on a single-segment table
+    v = e2.t("items").current_version()
+    e2.compact_items()
+    assert e2.t("items").current_version() == v
+
+
+def test_frontier_segment_count_trigger_bounds_file_growth(spark, tmp_path):
+    """With the segment-count trigger, frontier adds segments stay bounded
+    across many iterations even though the tombstone threshold never fires,
+    and the crawl result is identical to an untriggered run."""
+    web = _web()
+    ref = CrawlEngine(
+        spark, str(tmp_path / "ref"), web, CrawlConfig(batch_size=3)
+    )
+    ref.seed(web.seeds(4))
+    ref.run(max_iterations=6)
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "cmp"), web,
+        CrawlConfig(batch_size=3, compact_min_segments=3),
+    )
+    eng.seed(web.seeds(4))
+    eng.run(max_iterations=6)
+    assert len(eng.t("frontier").manifest().segments or []) <= 3
+    ref_order = [r.fingerprint for r in ref.t("crawl_order").read().orderBy("seq").collect()]
+    cmp_order = [r.fingerprint for r in eng.t("crawl_order").read().orderBy("seq").collect()]
+    assert cmp_order == ref_order
+    assert eng.frontier().count() == ref.frontier().count()
+    # band counts survived compaction (lease pruning still provable)
+    assert eng._lease_band_keys(3) is not None
