@@ -84,15 +84,16 @@ def _urljoin_is_identity(link: str) -> bool:
         rest = link[8:]
     else:
         return False
-    if not rest or rest[0] == "/":
+    if not rest or rest[0] in "/?#":
         return False  # empty netloc: same-scheme urljoin merges with base
-    for ch in ";?#\t\n\r":
-        # ';'/'?'/'#' start params/query/fragment, and EMPTY ones don't
-        # round-trip urlunparse ("http://h/a;" -> "http://h/a"); tab/CR/LF
-        # are stripped by urlsplit.  Links carrying any of these take the
-        # full urljoin — the fast path handles only plain path-style links.
+    for ch in ";#\t\n\r":
+        # ';'/'#' start params/fragment, and EMPTY ones don't round-trip
+        # urlunparse ("http://h/a;" -> "http://h/a"); tab/CR/LF are stripped
+        # by urlsplit.  Links carrying any of these take the full urljoin.
         if ch in link:
             return False
+    if link[-1] == "?":
+        return False  # empty query doesn't round-trip ("a?" -> "a")
     return link == link.strip()
 
 
@@ -222,13 +223,13 @@ def extract_spans(html: str) -> list[dict]:
     text_segments = []
     pos = 0
     for m in _TAG.finditer(html):
-        seg = html[pos : m.start()]
-        if seg.strip():
-            text_segments.append((pos, seg.strip()))
+        seg = html[pos : m.start()].strip()
+        if seg:
+            text_segments.append((pos, seg))
         pos = m.end()
-    tail = html[pos:]
-    if tail.strip():
-        text_segments.append((pos, tail.strip()))
+    tail = html[pos:].strip()
+    if tail:
+        text_segments.append((pos, tail))
 
     merged = sorted(
         [(p, "media", ref) for p, ref in media] + [(p, "text", t) for p, t in text_segments]
