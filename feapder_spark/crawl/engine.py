@@ -380,19 +380,24 @@ class CrawlEngine:
         for name, ddl in ddls.items():
             if not self.t(name).exists():
                 self.t(name).create_empty(ddl)
-        if self._bloom is not None:
-            # bloom bucket routing is pmod(xxhash64(fp), bloom_buckets); a
-            # different modulus on resume would route fingerprints to blobs
-            # that never saw them — the whole dedup state silently voids.
-            # The modulus rides every seen_set commit's meta; refuse loudly.
-            m = self.t("seen_set").manifest()
-            rec = (m.meta or {}).get("bucket_modulus") if m else None
-            if rec is not None and int(rec) != self.cfg.bloom_buckets:
-                raise ValueError(
-                    f"seen_set was committed with bloom_buckets={rec}; resuming "
-                    f"with {self.cfg.bloom_buckets} would void the dedup state — "
-                    "keep the original bucket count"
-                )
+        self._check_bloom_modulus()
+
+    def _check_bloom_modulus(self) -> None:
+        """Bloom bucket routing is pmod(xxhash64(fp), bloom_buckets); a
+        different modulus on resume would route fingerprints to blobs that
+        never saw them — the whole dedup state silently voids.  The modulus
+        rides every seen_set commit's meta; refuse loudly.  Checked at
+        table init AND at resume() (a resumed engine never re-inits)."""
+        if self._bloom is None:
+            return
+        m = self.t("seen_set").manifest()
+        rec = (m.meta or {}).get("bucket_modulus") if m else None
+        if rec is not None and int(rec) != self.cfg.bloom_buckets:
+            raise ValueError(
+                f"seen_set was committed with bloom_buckets={rec}; resuming "
+                f"with {self.cfg.bloom_buckets} would void the dedup state — "
+                "keep the original bucket count"
+            )
 
     def seed(self, seeds: list[dict]) -> bool:
         """Seed the frontier; skipped when a frontier already exists
@@ -809,6 +814,7 @@ class CrawlEngine:
             self.next_seq = ckpt["label"]["next_seq"]
             self.frontier_size = ckpt["label"].get("frontier_size", 0)
             self.tombstone_rows = ckpt["label"].get("tombstone_rows", 0)
+            self._check_bloom_modulus()
         return ckpt
 
     def _iterate(self) -> IterationStats | None:

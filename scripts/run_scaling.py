@@ -91,6 +91,19 @@ candidate generation and verify are both hash joins.)
   write ~no blob bytes while exact always appends its fingerprints.
   The spread is host variance (the canary swung 523 -> 611 within the
   same session), not engine nondeterminism.
+- Cross-round comparability (the r3 ask): bench.py crawl at 6k batches
+  normalized to CANARY_REF=1000 — r3: 632.7 URLs/s at canary 650.4 ->
+  973 normalized; r4: 595.9 at canary 620.9 -> 960 normalized.  Within
+  1.4%: the unchanged-path crawl numbers ARE directly comparable once
+  normalized, which retroactively confirms the r3 "slow host, not
+  regression" reading.  (r2 predates the canary; its host phase can only
+  be inferred from the pure-python dedup microbench, so r2 comparisons
+  stay qualitative.)
+- Parse-stage fast paths late in round 4 (relative-link concat join +
+  query-bearing absolute links): single-process parse 5.2k -> 8.5k
+  pages/s; data-plane local[8] measured 17.2k -> 19.2k pages/s on the
+  same host hour.  Section 1/2 numbers were regenerated after these
+  landed.
 """
 
 

@@ -177,3 +177,10 @@ def test_modulus_guards_refuse_resume(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bloom_buckets=8"):
         e2._init_tables()
+    # the resume path (never re-inits tables) must refuse too
+    e3 = CrawlEngine(
+        spark, wh, web, CrawlConfig(seen_set="bloom", bloom_buckets=16,
+                                    bloom_capacity_per_bucket=1000),
+    )
+    with pytest.raises(ValueError, match="bloom_buckets=8"):
+        e3.resume()
