@@ -16,11 +16,24 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     e1.seed(seeds)
     e1.run(max_iterations=3)
 
-    # simulate a torn iteration: a partial commit with no checkpoint
+    # simulate a torn iteration: partial commits with no checkpoint — one
+    # plain table AND one banded frontier commit (whose per-band manifest
+    # counts must roll back with the data, or the pruned lease would trust
+    # phantom rows)
     e1.t("seen").commit(
         spark.createDataFrame([("deadbeef", 99)], "fingerprint STRING, added_iteration INT"),
         mode="append",
     )
+    from feapder_spark.crawl import frontier as FR
+
+    junk = spark.createDataFrame(
+        [(
+            "deadbeef", "http://x.test/x", "http://x.test/x", "x.test", 7, 0,
+            "TestParser", "todo", 99, None, None, None, True,
+        )],
+        FR.FRONTIER_DDL,
+    )
+    e1._commit_frontier_adds(junk, 1)
 
     # run 2: a fresh engine on the same warehouse resumes and finishes
     e2 = CrawlEngine(spark, str(tmp_path / "wh"), web, CrawlConfig(batch_size=12))
@@ -37,6 +50,14 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     assert "deadbeef" not in seen, "torn partial commit must be discarded on resume"
     assert order == golden.crawl_order
     assert seen == golden.seen
+    # the torn banded commit rolled back manifest counts too: band 7 gone,
+    # and drained adds-minus-tombs nets zero in every band
+    am = e2.t("frontier").manifest()
+    tm = e2.t("frontier_tombs").manifest()
+    a = (am.meta or {}).get("part_rows") or {}
+    t = (tm.meta or {}).get("part_rows") or {}
+    assert "7" not in a, "phantom band from the torn commit survived resume"
+    assert all(a[b] - t.get(b, 0) == 0 for b in a), (a, t)
 
 
 def test_compaction_preserves_crawl_equivalence(spark, tmp_path):
