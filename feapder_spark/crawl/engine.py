@@ -1219,6 +1219,13 @@ class CrawlEngine:
             # threshold fires rarely while per-band file counts grow every
             # iteration — fold them independently
             self.compact_frontier()
+        m_items = self.t("items").manifest()
+        if m_items is not None and len(m_items.segments or []) >= self.cfg.compact_min_segments:
+            # same cadence for the items table: every appending iteration
+            # adds a segment, so per-bucket file counts grow until folded
+            # (set compact_min_segments high to defer to out-of-band
+            # maintenance, the Iceberg rewrite_data_files pattern)
+            self.compact_items()
         return st
 
     def expire_snapshots(self, keep_checkpoints: int = 2) -> dict:

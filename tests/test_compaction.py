@@ -61,6 +61,8 @@ def test_frontier_segment_count_trigger_bounds_file_growth(spark, tmp_path):
     eng.seed(web.seeds(4))
     eng.run(max_iterations=6)
     assert len(eng.t("frontier").manifest().segments or []) <= 3
+    assert len(eng.t("items").manifest().segments or []) <= 3, \
+        "items segments must fold on the same cadence"
     ref_order = [r.fingerprint for r in ref.t("crawl_order").read().orderBy("seq").collect()]
     cmp_order = [r.fingerprint for r in eng.t("crawl_order").read().orderBy("seq").collect()]
     assert cmp_order == ref_order
