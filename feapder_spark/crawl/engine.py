@@ -139,6 +139,14 @@ class CrawlConfig:
     # rarely, while per-band FILE counts grow with every iteration — this
     # bounds them independently (Iceberg rewrite_data_files cadence)
     compact_min_segments: int = 512
+    # items-table compaction cadence, DECOUPLED from the frontier trigger:
+    # frontier compaction is bounded by the delta log, but compact_items
+    # rewrites the ENTIRE items table — at 10^10 items an in-loop rewrite is
+    # an unbounded O(table) pause inside one crawl iteration.  Default None
+    # = never auto-compact items; run engine.compact_items() out-of-band
+    # (the Iceberg rewrite_data_files maintenance pattern).  Setting an int
+    # re-enables the in-loop segment-count trigger for small deployments.
+    items_compact_min_segments: int | None = None
     # ExpireFilter semantics (dedup/expirefilter.py:17-81): a claimed
     # fingerprint stops deduping after the TTL, so the URL re-crawls.
     # seen_ttl_iterations is the deterministic loop unit (mirrored by the
@@ -347,9 +355,17 @@ class CrawlEngine:
                 or any(s not in (tm.seg_parts or {}) for s in tm.segments)
             ):
                 return None
+        try:
+            ordered = sorted(adds_rows, key=int)
+        except (ValueError, TypeError):
+            # a non-numeric hive key (e.g. __HIVE_DEFAULT_PARTITION__ from a
+            # NULL-priority row slipping past the public writers) must mean
+            # "distrust the manifest, fall back to the full read" — not a
+            # hard crash of every subsequent iteration
+            return None
         keys: list[str] = []
         cum = 0
-        for band in sorted(adds_rows, key=int):
+        for band in ordered:
             visible = adds_rows[band] - tomb_rows.get(band, 0)
             if visible < 0:
                 return None  # invariant broken (double tombstone?) — distrust all
@@ -1219,13 +1235,16 @@ class CrawlEngine:
             # threshold fires rarely while per-band file counts grow every
             # iteration — fold them independently
             self.compact_frontier()
-        m_items = self.t("items").manifest()
-        if m_items is not None and len(m_items.segments or []) >= self.cfg.compact_min_segments:
-            # same cadence for the items table: every appending iteration
-            # adds a segment, so per-bucket file counts grow until folded
-            # (set compact_min_segments high to defer to out-of-band
-            # maintenance, the Iceberg rewrite_data_files pattern)
-            self.compact_items()
+        if self.cfg.items_compact_min_segments is not None:
+            # opt-in ONLY: unlike the frontier fold (bounded by the delta
+            # log) this rewrites the whole items table — out-of-band
+            # maintenance by default (cfg.items_compact_min_segments)
+            m_items = self.t("items").manifest()
+            if (
+                m_items is not None
+                and len(m_items.segments or []) >= self.cfg.items_compact_min_segments
+            ):
+                self.compact_items()
         return st
 
     def expire_snapshots(self, keep_checkpoints: int = 2) -> dict:

@@ -112,6 +112,10 @@ def _base_ctx(base: str) -> tuple[str, str] | None:
         "?" in base or "#" in base or ";" in base
         or "\t" in base or "\n" in base or "\r" in base
         or base != base.strip()
+        # C0 controls (urlsplit lstrips WHATWG C0-or-space, str.strip does
+        # not): a leading one already fails the scheme prefix above, but
+        # guard explicitly so the invariant doesn't rest on that accident
+        or base[0] <= " " or base[-1] <= " "
         or "/." in base
         # "//" in the base PATH: Python's urljoin collapses repeated
         # slashes during the merge (fuzz-discovered) — slow path
@@ -142,6 +146,11 @@ def _fast_rel(ctx: tuple[str, str], link: str) -> str | None:
         ":" in link or "#" in link or ";" in link
         or "\t" in link or "\n" in link or "\r" in link
         or link != link.strip()
+        # leading C0 controls other than \t\r\n ('\x01page'): urlsplit
+        # lstrips the WHATWG C0-control-or-space class but str.strip() does
+        # not, so the strip() guard above misses them (fuzz-found) — any
+        # first char <= SPACE takes the real urljoin
+        or link[0] <= " "
         or link[0] in "?."
         or link[-1] == "?"
         # "//" anywhere: a leading one is protocol-relative, and an INNER

@@ -56,13 +56,17 @@ def test_frontier_segment_count_trigger_bounds_file_growth(spark, tmp_path):
 
     eng = CrawlEngine(
         spark, str(tmp_path / "cmp"), web,
-        CrawlConfig(batch_size=3, compact_min_segments=3),
+        CrawlConfig(batch_size=3, compact_min_segments=3, items_compact_min_segments=3),
     )
     eng.seed(web.seeds(4))
     eng.run(max_iterations=6)
     assert len(eng.t("frontier").manifest().segments or []) <= 3
     assert len(eng.t("items").manifest().segments or []) <= 3, \
-        "items segments must fold on the same cadence"
+        "items segments must fold on the opted-in cadence"
+    # the reference run used the defaults: frontier folding aggressive-able
+    # without dragging a full items rewrite into the loop (items trigger is
+    # opt-in, default out-of-band)
+    assert len(ref.t("items").manifest().segments or []) > 3
     ref_order = [r.fingerprint for r in ref.t("crawl_order").read().orderBy("seq").collect()]
     cmp_order = [r.fingerprint for r in eng.t("crawl_order").read().orderBy("seq").collect()]
     assert cmp_order == ref_order

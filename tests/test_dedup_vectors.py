@@ -53,6 +53,56 @@ def test_filter_exist_data_with_fingerprints_and_callback():
     assert datas == ["b"] and fps == ["f2"] and dropped == ["a"]
 
 
+def _claim(spark, bss, blobs, datas):
+    """Drive one golden-vector batch through the FUSED ``claim_new`` (the
+    path production runs; ``check_and_add`` is the conformance surface the
+    engine no longer calls).  ``datas`` are md5-prehashed like
+    ``Dedup(to_md5=True)``; each row carries its batch index as the
+    in-batch order column.  Returns (claimed_indices, next_blobs)."""
+    from feapder_spark.urlnorm import get_md5
+
+    rows = [(get_md5(d), 0, str(i)) for i, d in enumerate(datas)]
+    keyed = spark.createDataFrame(
+        rows, "fingerprint STRING, priority INT, url STRING"
+    ).withColumn("bucket", bss.bucket_col())
+    new_rows, changed = bss.claim_new(keyed, blobs)
+    claimed = sorted(int(r.url) for r in new_rows.collect())
+    changed = changed.localCheckpoint()
+    untouched = blobs.join(changed.select("bucket").distinct(), on="bucket", how="left_anti")
+    next_blobs = changed.unionByName(untouched).localCheckpoint()
+    bss.release()
+    return claimed, next_blobs
+
+
+def test_golden_vectors_through_fused_claim_new(spark):
+    """The reference add/get/in-batch vectors (test_dedup.py:23-39,88-104),
+    asserted against the production Bloom path: one ``claim_new`` cogroup =
+    in-batch first-dedup + membership + insert.  ``add(datas)==[1,1,0]``
+    maps to "claim returns exactly the first-occurrence rows of unseen
+    keys"; ``get==[1,1,1]`` afterwards maps to "a re-claim returns []"."""
+    from feapder_spark.operators.seen_set import BloomSeenSet
+
+    bss = BloomSeenSet(num_buckets=4, capacity_per_bucket=1000, error_rate=1e-5)
+    blobs = bss.empty_blobs(spark).localCheckpoint()
+
+    # single-value path: add(DATA) == 1, then get(DATA) == 1
+    claimed, blobs = _claim(spark, bss, blobs, [DATA])
+    assert claimed == [0]
+    claimed, blobs = _claim(spark, bss, blobs, [DATA])
+    assert claimed == []
+
+    # batch path with in-batch duplicate: add(["xxx","bbb","xxx"]) == [1,1,0]
+    claimed, blobs = _claim(spark, bss, blobs, DATAS)
+    assert claimed == [0, 1], "first xxx + bbb claim; in-batch dup xxx does not"
+    # get afterwards == [1,1,1]: nothing left to claim
+    claimed, blobs = _claim(spark, bss, blobs, DATAS)
+    assert claimed == []
+
+    # filter_exist_data shape: only the unseen datum survives
+    claimed, blobs = _claim(spark, bss, blobs, ["xxx", "bbb", "ccc"])
+    assert claimed == [2]
+
+
 def test_bloom_kernel_capacity_math_matches_reference():
     # bloomfilter.py:88-94: k = ceil(log2(1/P)); m = ceil(n|lnP| / (k ln^2 2))
     k = BloomKernel(100_000_000, 1e-5)

@@ -130,7 +130,8 @@ def test_in_proc_filters_have_no_false_negatives(keys):
 
 @settings(max_examples=500, deadline=None)
 @given(
-    st.text(alphabet="abcdefghijklmnopqrstuvwxyzABC0123456789-._~%!$&'()*+,;=:@/? #\t\r\n",
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyzABC0123456789-._~%!$&'()*+,;=:@/? #\t\r\n"
+                     "\x00\x01\x0b\x1f",  # C0 controls urlsplit lstrips but str.strip keeps
             min_size=0, max_size=30),
     st.sampled_from(["", "http://", "https://", "HTTP://", "//", "/", "rel/"]),
 )
@@ -155,9 +156,11 @@ def test_make_absolute_matches_urljoin_exactly(tail, prefix):
 
 @settings(max_examples=500, deadline=None)
 @given(
-    st.text(alphabet="abcdefgh0123456789-._~%!$&'()*+,;=:@/? #\t\r\n", min_size=1, max_size=24),
-    st.sampled_from(["", "http://", "https://", "//", "/", "rel/", "./", "../", "?", "page-"]),
-    st.text(alphabet="abcdefgh0123456789-._~%;=:@/?# \t", min_size=0, max_size=20),
+    st.text(alphabet="abcdefgh0123456789-._~%!$&'()*+,;=:@/? #\t\r\n\x00\x01\x0b\x1f",
+            min_size=1, max_size=24),
+    st.sampled_from(["", "http://", "https://", "//", "/", "rel/", "./", "../", "?", "page-",
+                     "\x01", "\x00/"]),
+    st.text(alphabet="abcdefgh0123456789-._~%;=:@/?# \t\x01\x1f", min_size=0, max_size=20),
     st.sampled_from(["http://h.test", "https://h.test/", "http://h.test/a/b",
                      "http://h.test//x", "http://h.test/a/./b", "HTTP://h.test/a",
                      "", "rel/only"]),
