@@ -325,14 +325,12 @@ class CrawlEngine:
     def _empty_tombs(self) -> DataFrame:
         return self.spark.createDataFrame([], TOMBS_DDL + ", priority INT")
 
-    def _lease_band_keys(self, k: int) -> list[str] | None:
-        """Priority bands whose visible rows provably cover the next top-k
-        lease, lowest priority first; None ⇒ the manifests can't bound it
-        (legacy unbanded segments, count gaps) and the caller must read the
-        whole frontier.  Pure driver-side dict math over manifest meta — no
-        Spark job.  Correctness: every row in an unread band has a strictly
-        higher priority than the k-th row of the read bands, so the global
-        top-k over the read subset equals the top-k over the full frontier."""
+    def _band_plan(self) -> list[tuple[str, int]] | None:
+        """Ordered ``(band_key, visible_rows)`` for every band with visible
+        rows, lowest priority first; None ⇒ the manifests can't bound the
+        lease (legacy unbanded segments, count gaps, non-numeric keys) and
+        the caller must read the whole frontier.  Pure driver-side dict math
+        over manifest meta — no Spark job."""
         am = self.t("frontier").manifest()
         if am is None or am.partitions:
             return None
@@ -363,19 +361,121 @@ class CrawlEngine:
             # "distrust the manifest, fall back to the full read" — not a
             # hard crash of every subsequent iteration
             return None
-        keys: list[str] = []
-        cum = 0
+        plan: list[tuple[str, int]] = []
         for band in ordered:
             visible = adds_rows[band] - tomb_rows.get(band, 0)
             if visible < 0:
                 return None  # invariant broken (double tombstone?) — distrust all
-            if visible == 0:
-                continue
+            if visible:
+                plan.append((band, visible))
+        return plan
+
+    def _lease_band_keys(self, k: int) -> list[str] | None:
+        """Priority bands whose visible rows provably cover the next top-k
+        lease, lowest priority first; None ⇒ read the whole frontier.
+        Correctness: every row in an unread band has a strictly higher
+        priority than the k-th row of the read bands, so the global top-k
+        over the read subset equals the top-k over the full frontier."""
+        plan = self._band_plan()
+        if plan is None:
+            return None
+        keys: list[str] = []
+        cum = 0
+        for band, visible in plan:
             keys.append(band)
             cum += visible
             if cum >= k:
                 break
         return keys
+
+    def _read_frontier_due(self, band_keys: list[str] | None = None) -> DataFrame:
+        """Visible due (status=todo) rows; ``band_keys`` restricts the read
+        to those hive partitions on BOTH sides of the delta log (the
+        band-subset anti-join is self-contained: a tombstone lands in the
+        same band as the add it cancels)."""
+        if band_keys is None:
+            due = self._read_frontier()
+        else:
+            adds = self._backfill_columns(
+                self.t("frontier").read_partition_subset(band_keys), FR.FRONTIER_DDL
+            )
+            tombs = self.t("frontier_tombs").read_partition_subset(band_keys)
+            due = adds.join(
+                tombs, on=["fingerprint", "retry_times", "added_iteration"], how="left_anti"
+            )
+        return due.filter(F.col("status") == S.STATUS_TODO)
+
+    def _gated_lease_inputs(self, k: int, static_budgets):
+        """Band-pruned read for the politeness-GATED lease (host budgets,
+        robots crawl-delay, token buckets) — incremental band opening
+        (VERDICT r4 #1): open the lowest bands covering ``k`` visible rows;
+        if the gate leaves fewer than k eligible rows, quadruple the
+        coverage and retry, worst case degrading to today's full read.
+
+        Soundness: per-host rank order is (priority, fingerprint) and bands
+        are disjoint priority ranges, so a row's host-rank — hence its
+        eligibility — depends only on same-host rows in its own and LOWER
+        bands, all of which are opened.  The eligible set computed over an
+        opened prefix is therefore exact, and once it holds ≥ k rows the
+        global top-k cannot include a row from an unopened (strictly
+        higher-priority) band.  Matches the reference zset's O(log n + k)
+        take bound (redisdb.py:472-523) with the gate on.
+
+        Token buckets accrue over the OPENED subset's hosts only; state
+        rows for other hosts carry forward untouched (persist-state
+        semantics — min(burst, t + m·rate) composes across skipped
+        iterations, so lazy catch-up accrual is exact; oracle.py mirrors).
+
+        Returns ``(due, budgets, accrued, bucket_state, opened_keys)`` —
+        ``accrued``/``bucket_state`` are None without token buckets;
+        ``opened_keys`` is None on the full-read fallback.  The total read
+        across retries is ≤ 2× the final subset (geometric growth), and the
+        common case (budgets gate little) is ONE probe over O(k) rows.
+        """
+        bucket_state = (
+            self.t("token_buckets").read() if self._buckets is not None else None
+        )
+
+        def budget_inputs(due):
+            if self._buckets is None:
+                return static_budgets, None
+            accrued = self._buckets.accrue(
+                self.spark, bucket_state, due.select("host"), self.iteration
+            ).persist()
+            merged = FR.merge_budgets(
+                static_budgets, self._default_budget, TokenBuckets.budgets(accrued)
+            )
+            return merged, accrued
+
+        plan = self._band_plan()
+        if not plan:  # None (can't bound) or empty (drained) — read whole
+            due = self._read_frontier_due()
+            budgets, accrued = budget_inputs(due)
+            return due, budgets, accrued, bucket_state, None
+        total = sum(v for _, v in plan)
+        cover = k
+        while True:
+            keys, cum = [], 0
+            for band, visible in plan:
+                keys.append(band)
+                cum += visible
+                if cum >= cover:
+                    break
+            due = self._read_frontier_due(keys)
+            budgets, accrued = budget_inputs(due)
+            if cum >= total:
+                # every non-empty band opened — nothing left to probe for
+                return due, budgets, accrued, bucket_state, keys
+            n_eligible = (
+                FR.eligible_under_politeness(due, budgets, self._default_budget)
+                .limit(k)
+                .count()
+            )
+            if n_eligible >= k:
+                return due, budgets, accrued, bucket_state, keys
+            if accrued is not None:
+                accrued.unpersist()
+            cover = max(cover * 4, cum + 1)
 
     def _init_tables(self):
         ddls = {
@@ -837,48 +937,37 @@ class CrawlEngine:
         _t0 = _time.time()
         cfg = self.cfg
         budgets = self._iteration_budgets()
-        # band-pruned lease read: with no politeness gate, the top-k lease
-        # provably lives in the lowest-priority bands whose visible counts
-        # cover batch_size — open only those dirs (adds AND tombstones).
-        # With host budgets a low band can be gated out in favor of rows
-        # from a higher band, so the gated path reads the whole frontier.
-        band_keys = None
+        # band-pruned lease read: the top-k lease provably lives in the
+        # lowest-priority bands whose visible counts cover batch_size — open
+        # only those dirs (adds AND tombstones).  The politeness-GATED path
+        # (host budgets / robots / token buckets) opens bands incrementally:
+        # a gate can promote higher bands, so it probes the eligible count
+        # and widens coverage geometrically until k gated rows are in view
+        # (_gated_lease_inputs) — never an unconditional O(frontier) read.
+        accrued = None
+        bucket_state = None
         if budgets is None and self._buckets is None:
             band_keys = self._lease_band_keys(cfg.batch_size)
-        self._last_lease_bands = band_keys
-        if band_keys is None:
-            due = self._read_frontier().filter(F.col("status") == S.STATUS_TODO)
+            self._last_lease_bands = band_keys
+            due = self._read_frontier_due(band_keys)
+            # the global lease-seq window (bounded, ≤k rows) is NOT applied
+            # here: only the crawl_order audit commit needs seq, so it runs
+            # inside that commit's thread, off the iteration critical path
+            if 0 < self.frontier_size <= cfg.batch_size:
+                # whole-frontier lease (drain phases; production
+                # mega-batches): |due| <= k and no politeness gate, so the
+                # global top-k is the identity on the leased SET — skip the
+                # sort+GlobalLimit funnel that would drag every row through
+                # ONE task before the fetch stage repartitions (the
+                # crawl_order audit still derives seq from its own sort)
+                batch = due.persist()
+            else:
+                batch = FR.take_batch(due, cfg.batch_size).persist()
         else:
-            adds = self._backfill_columns(
-                self.t("frontier").read_partition_subset(band_keys), FR.FRONTIER_DDL
+            due, budgets, accrued, bucket_state, band_keys = self._gated_lease_inputs(
+                cfg.batch_size, budgets
             )
-            tombs = self.t("frontier_tombs").read_partition_subset(band_keys)
-            due = adds.join(
-                tombs, on=["fingerprint", "retry_times", "added_iteration"], how="left_anti"
-            ).filter(F.col("status") == S.STATUS_TODO)
-        accrued = None
-        if self._buckets is not None:
-            state = self.t("token_buckets").read()
-            accrued = self._buckets.accrue(
-                self.spark, state, due.select("host"), self.iteration
-            ).persist()
-            tb_budgets = TokenBuckets.budgets(accrued)
-            # min(coalesce(static, default), token_budget) per host — a plain
-            # union+min would let every token-bucket row bypass the static
-            # __default__ cap (oracle.py:100-106 takes the min with default)
-            budgets = FR.merge_budgets(budgets, self._default_budget, tb_budgets)
-        # the global lease-seq window (bounded, single-partition over ≤k rows)
-        # is NOT applied here: only the crawl_order audit commit needs seq, so
-        # it runs inside that commit's thread, off the iteration critical path
-        if budgets is None and 0 < self.frontier_size <= cfg.batch_size:
-            # whole-frontier lease (drain phases; production mega-batches):
-            # |due| <= k and no politeness gate, so the global top-k is the
-            # identity on the leased SET — skip the sort+GlobalLimit funnel
-            # that would drag every row through ONE task before the fetch
-            # stage repartitions (the crawl_order audit still derives seq
-            # from its own sort, so lease semantics are unchanged)
-            batch = due.persist()
-        else:
+            self._last_lease_bands = band_keys
             batch = FR.take_batch(due, cfg.batch_size, budgets, self._default_budget).persist()
 
         # fused fetch+parse: one python eval per task (fetcher.py rationale)
@@ -1152,7 +1241,15 @@ class CrawlEngine:
         )
         if accrued is not None:
             leased_ph = batch.groupBy("host").agg(F.count("*").alias("n_leased"))
-            new_state = self._buckets.spend(accrued, leased_ph)
+            spent = self._buckets.spend(accrued, leased_ph)
+            # persist-state semantics: rows for hosts NOT accrued this
+            # iteration (outside the opened bands, or momentarily without
+            # due rows) carry forward untouched — elapsed-iterations
+            # accrual catches them up exactly when next read, because
+            # min(burst, t + m·rate) composes across skipped iterations
+            # (oracle.py mirrors; required for the band-pruned gated lease)
+            carry = bucket_state.join(accrued.select("host"), on="host", how="left_anti")
+            new_state = spent.unionByName(carry)
             commits.append(
                 lambda: self.t("token_buckets").commit(self._sized(new_state, 10_000), mode="overwrite")
             )

@@ -66,9 +66,13 @@ def run_oracle(
     frontier: dict[str, dict] = {}
     # claim log for ExpireFilter semantics: fp -> latest claim iteration
     seen_at: dict[str, int] = {}
-    # token-bucket state mirroring crawl/politeness.py exactly: hosts carry
-    # (tokens, updated_iteration) only while they have due rows; a host
-    # absent from an iteration's due set drops out and restarts at burst
+    # token-bucket state mirroring crawl/politeness.py + engine exactly:
+    # hosts accrue (tokens, updated_iteration) on the iterations they have
+    # due rows; rows for other hosts PERSIST untouched and catch up via
+    # elapsed-iterations accrual when next due — min(burst, t + m·rate)
+    # composes, so lazy catch-up equals per-iteration accrual.  This
+    # persist-state contract is what lets the engine accrue over only the
+    # opened frontier bands (engine._gated_lease_inputs) and stay exact.
     bucket_state: dict[str, tuple[float, int]] = {}
 
     def enqueue(
@@ -260,13 +264,13 @@ def run_oracle(
                 continue
             break
         if token_bucket:
-            # spend one token per leased fetch; state rows exist only for due hosts
+            # spend one token per leased fetch; accrued hosts update in
+            # place, every other host's row persists (lazy accrual)
             spent: dict[str, int] = {}
             for r in batch:
                 spent[r["host"]] = spent.get(r["host"], 0) + 1
-            bucket_state = {
-                h: (max(0.0, t - spent.get(h, 0)), upd) for h, (t, upd) in accrued.items()
-            }
+            for h, (t, upd) in accrued.items():
+                bucket_state[h] = (max(0.0, t - spent.get(h, 0)), upd)
         m = {"iteration": res.iterations, "leased": len(batch), "fetched_ok": 0,
              "links_new": 0, "links_dup": 0, "retried": 0, "failed": 0}
         for r in batch:
