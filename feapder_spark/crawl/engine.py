@@ -1231,7 +1231,7 @@ class CrawlEngine:
             # (bounded by k; concurrent with the big docs/frontier writes)
             lambda: self.t("crawl_order").commit(
                 self._sized(
-                    FR.with_lease_seq(batch, self.next_seq).select(
+                    FR.with_lease_seq(batch, self.next_seq, n_rows=leased).select(
                         "seq", F.lit(self.iteration).alias("iteration"), "fingerprint"
                     ),
                     leased,

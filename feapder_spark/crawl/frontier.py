@@ -109,20 +109,63 @@ def take_batch(
     return eligible.orderBy(*[F.col(c) for c in S.ORDER_COLS]).limit(k)
 
 
-def with_lease_seq(batch: DataFrame, seq_start: int) -> DataFrame:
-    """Assign the global lease sequence within the (bounded, ≤k-row) batch.
+# above this row count the lease-seq derivation switches from the one-task
+# concat to the range-partitioned path (also the target rows/partition there)
+LEASE_SEQ_NARROW_MAX = 100_000
 
-    No window function: the batch is sorted on the lease order and coalesced
-    to one partition (coalesce concatenates range-sorted partitions in
-    partition order, preserving the global sort), where
-    ``monotonically_increasing_id`` yields the contiguous 0..n-1 row index —
-    pure JVM, no single-partition WindowExec (and no python hop).  Bounded
-    by k like the lease itself; at k beyond executor memory, derive seq from
-    per-range-partition counts + row index instead (the Iceberg-scale path).
+
+def with_lease_seq(batch: DataFrame, seq_start: int, n_rows: int | None = None) -> DataFrame:
+    """Assign the global lease sequence (contiguous ``seq_start..+n-1`` in
+    (priority, fingerprint) order) without a single-partition WindowExec.
+
+    Small batches (``n_rows`` unknown or ≤ LEASE_SEQ_NARROW_MAX): sort and
+    coalesce to one partition (coalesce concatenates range-sorted partitions
+    in partition order, preserving the global sort), where
+    ``monotonically_increasing_id`` yields the contiguous row index — one
+    job, pure JVM.
+
+    Mega-batches (the 10^6-10^7-row production lease): the one-task funnel
+    would serialize k rows, so derive seq from per-range-partition counts +
+    in-partition row index instead (the Iceberg/zipWithIndex-scale path):
+    range-partition on the lease order, sort within partitions, freeze
+    partition ids + local indices with an eager localCheckpoint, collect the
+    ≤4096 per-partition counts (one tiny job), and add each partition's
+    cumulative offset via a broadcast join — every stage O(n/P) per task,
+    no global funnel.  RangePartitioner assigns ascending key ranges to
+    ascending partition ids, so offsets in pid order ARE the global order.
     """
-    ordered = batch.orderBy(*[F.col(c) for c in S.ORDER_COLS]).coalesce(1)
-    return ordered.withColumn(
-        "seq", F.monotonically_increasing_id() + F.lit(seq_start)
+    cols = [F.col(c) for c in S.ORDER_COLS]
+    if n_rows is None or n_rows <= LEASE_SEQ_NARROW_MAX:
+        ordered = batch.orderBy(*cols).coalesce(1)
+        return ordered.withColumn(
+            "seq", F.monotonically_increasing_id() + F.lit(seq_start)
+        )
+    num_parts = min((n_rows + LEASE_SEQ_NARROW_MAX - 1) // LEASE_SEQ_NARROW_MAX, 4096)
+    ranged = (
+        batch.repartitionByRange(num_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            # upper 31 bits = partition id, lower 33 = in-partition index
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        .localCheckpoint()  # freeze pid/index before the two consumer jobs
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], seq_start
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = batch.sparkSession.createDataFrame(offsets, "_pid INT, _off LONG")
+    local_idx = F.col("_mid") - F.col("_pid").cast("long") * F.lit(1 << 33)
+    return (
+        ranged.join(F.broadcast(off_df), on="_pid")
+        .withColumn("seq", F.col("_off") + local_idx)
+        .drop("_pid", "_mid", "_off")
     )
 
 

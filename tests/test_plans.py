@@ -29,6 +29,25 @@ def test_lease_topk_is_take_ordered_not_global_sort(spark):
     assert "Sort [priority" not in plan.split("TakeOrderedAndProject")[0]
 
 
+def test_lease_seq_megabatch_has_no_single_partition_funnel(spark):
+    """VERDICT r4 #2: at production batch sizes (≥10^5 rows) the crawl_order
+    seq derivation must not drag every row through one task — the scale path
+    range-partitions, derives per-partition offsets, and stays multi-task —
+    while assigning exactly the same contiguous global sequence."""
+    n = 150_000
+    batch = spark.range(n).select(
+        F.md5(F.col("id").cast("string")).alias("fingerprint"),
+        (F.col("id") % 7).cast("int").alias("priority"),
+    )
+    out = FR.with_lease_seq(batch, seq_start=1000, n_rows=n)
+    plan = _plan(out)
+    assert "Coalesce 1" not in plan, plan
+    assert out.rdd.getNumPartitions() > 1
+    rows = out.orderBy("seq").collect()
+    assert [r.seq for r in rows] == list(range(1000, 1000 + n))
+    resorted = sorted(rows, key=lambda r: (r.priority, r.fingerprint))
+    assert [r.seq for r in resorted] == list(range(1000, 1000 + n)), \
+        "seq must follow the (priority, fingerprint) lease order"
 def test_filter_pushdown_reaches_parquet_scan(spark):
     df = (
         spark.read.parquet(f"{SF}/events.parquet")
