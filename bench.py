@@ -163,14 +163,33 @@ def main() -> None:
     # warm the crawl path once (python workers, Arrow codecs, commit pools)
     # so the exact-vs-bloom pair compares engines, not who ran first
     crawl_bench(spark, n_hosts=20, pages_per_host=10, batch_size=200, max_iterations=1)
-    crawl = crawl_bench(spark)
-    crawl_bloom = crawl_bench(spark, seen="bloom")
+    # interleaved best-of-N pairs (VERDICT r4 #3): single crawl runs swing
+    # 30-60% on this disk-bound host, so the bloom-vs-exact bar is recorded
+    # IN the bench JSON as the best of N interleaved pairs (interleaving
+    # cancels host drift), not a one-shot snapshot
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    exact_runs, bloom_runs = [], []
+    for _ in range(reps):
+        exact_runs.append(crawl_bench(spark))
+        bloom_runs.append(crawl_bench(spark, seen="bloom"))
+    crawl = max(exact_runs, key=lambda r: r["urls_per_sec"])
+    crawl_bloom = max(bloom_runs, key=lambda r: r["urls_per_sec"])
+    pair_ratios = [
+        round(b["urls_per_sec"] / e["urls_per_sec"], 3)
+        for e, b in zip(exact_runs, bloom_runs)
+    ]
     # production-shaped pair: ONE big-batch iteration (a 10^10-frontier
     # deployment leases 1e5-1e6 rows per iteration, so per-iteration fixed
     # costs — where the Bloom path pays an extra Arrow stage — amortize out;
     # at this shape the scale path runs at parity with the exact path)
-    crawl_big = crawl_bench(spark, batch_size=24000, max_iterations=1)
-    crawl_bloom_big = crawl_bench(spark, batch_size=24000, max_iterations=1, seen="bloom")
+    big_exact_runs, big_bloom_runs = [], []
+    for _ in range(reps):
+        big_exact_runs.append(crawl_bench(spark, batch_size=24000, max_iterations=1))
+        big_bloom_runs.append(
+            crawl_bench(spark, batch_size=24000, max_iterations=1, seen="bloom")
+        )
+    crawl_big = max(big_exact_runs, key=lambda r: r["urls_per_sec"])
+    crawl_bloom_big = max(big_bloom_runs, key=lambda r: r["urls_per_sec"])
 
     # canary-normalized headline numbers (see CANARY_REF note): the column a
     # cross-round comparison should read
@@ -198,6 +217,14 @@ def main() -> None:
         "crawl_bloom": crawl_bloom,
         "crawl_bigbatch": crawl_big,
         "crawl_bloom_bigbatch": crawl_bloom_big,
+        "crawl_pair_reps": reps,
+        "crawl_pair_ratios": pair_ratios,
+        "bloom_over_exact_best": round(
+            crawl_bloom["urls_per_sec"] / crawl["urls_per_sec"], 3
+        ),
+        "bloom_over_exact_bigbatch_best": round(
+            crawl_bloom_big["urls_per_sec"] / crawl_big["urls_per_sec"], 3
+        ),
         "dedup_keys_per_sec": dedup_rate,
         "host_canary_md5_mbps": canary,
         "canary_ref": CANARY_REF,

@@ -147,6 +147,14 @@ class CrawlConfig:
     # (the Iceberg rewrite_data_files maintenance pattern).  Setting an int
     # re-enables the in-loop segment-count trigger for small deployments.
     items_compact_min_segments: int | None = None
+    # visible-set anti-join shape (the co-partitioning seam, VERDICT r4 #5):
+    # when the tombstone delta log is at most this many rows, broadcast the
+    # tombstone side — the adds side then never shuffles for visibility
+    # (BroadcastHashJoin LeftAnti, zero Exchange), closing the seam for the
+    # whole between-compactions window at default cadence.  ~100 B/row in
+    # the broadcast hash relation → 1M rows ≈ 100 MB, executor-friendly;
+    # beyond it the plain shuffle join (bounded by compaction) takes over.
+    tombs_broadcast_max_rows: int = 1_000_000
     # ExpireFilter semantics (dedup/expirefilter.py:17-81): a claimed
     # fingerprint stops deduping after the TTL, so the URL re-crawls.
     # seen_ttl_iterations is the deterministic loop unit (mirrored by the
@@ -399,7 +407,7 @@ class CrawlEngine:
             adds = self._backfill_columns(
                 self.t("frontier").read_partition_subset(band_keys), FR.FRONTIER_DDL
             )
-            tombs = self.t("frontier_tombs").read_partition_subset(band_keys)
+            tombs = self._tombs_side(self.t("frontier_tombs").read_partition_subset(band_keys))
             due = adds.join(
                 tombs, on=["fingerprint", "retry_times", "added_iteration"], how="left_anti"
             )
@@ -672,13 +680,26 @@ class CrawlEngine:
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         return df
 
+    def _tombs_side(self, tombs: DataFrame) -> DataFrame:
+        """Anti-join build side for the tombstone delta log: broadcast it
+        while the driver-tracked tombstone count stays under
+        cfg.tombs_broadcast_max_rows — the adds side then needs NO Exchange
+        for visibility (the practical closure of the fingerprint
+        co-partitioning seam; beyond the bound, the shuffle join is still
+        capped by compaction cadence)."""
+        if 0 < self.tombstone_rows <= self.cfg.tombs_broadcast_max_rows:
+            return F.broadcast(tombs)
+        return tombs
+
     def _read_frontier(self) -> DataFrame:
         """Visible frontier = adds ⟕anti tombstones on the row-version key.
         On Iceberg both sides bucket by fingerprint, making this a
-        storage-partitioned join (no shuffle); here it is a plain anti-join
-        whose shuffle is bounded by the delta-log size between compactions."""
+        storage-partitioned join (no shuffle); here the tombstone side
+        broadcasts below cfg.tombs_broadcast_max_rows (no shuffle either
+        way on the adds side), else a plain anti-join whose shuffle is
+        bounded by the delta-log size between compactions."""
         adds = self._backfill_columns(self.t("frontier").read(), FR.FRONTIER_DDL)
-        tombs = self.t("frontier_tombs").read()
+        tombs = self._tombs_side(self.t("frontier_tombs").read())
         return adds.join(
             tombs, on=["fingerprint", "retry_times", "added_iteration"], how="left_anti"
         )

@@ -125,3 +125,35 @@ def test_visible_frontier_is_anti_join(spark, tmp_path):
     engine.seed([{"url": web.url(0, 0)}])
     plan = _plan(engine.frontier())
     assert "LeftAnti" in plan, plan
+
+
+def test_tombstone_antijoin_broadcasts_below_bound(spark, tmp_path):
+    """VERDICT r4 #5 (co-partitioning seam): while the tombstone delta log
+    is under cfg.tombs_broadcast_max_rows, visibility is a broadcast
+    anti-join — ZERO Exchange on the adds side; above the bound it falls
+    back to the shuffle join (bounded by compaction cadence)."""
+    from feapder_spark.crawl.engine import CrawlConfig, CrawlEngine
+    from feapder_spark.crawl.synthweb import SyntheticWeb
+
+    web = SyntheticWeb(n_hosts=2, pages_per_host=3, seed=42)
+    engine = CrawlEngine(spark, str(tmp_path / "wh"), web, CrawlConfig(batch_size=4))
+    engine.seed(web.seeds(2))
+    engine._iterate()  # produce real tombstones
+    assert engine.tombstone_rows > 0
+    # kill the size-based auto-broadcast so the plan shows OUR driver-count
+    # hint (at 10^10-frontier scale the tombs parquet size exceeds the auto
+    # threshold long before the broadcast stops being the right plan)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(engine.frontier())
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        adds_side = plan.split("BroadcastHashJoin")[0]
+        assert "Exchange" not in adds_side, f"adds side must not shuffle:\n{plan}"
+        # the fallback: the delta log outgrew the broadcast bound
+        engine.cfg.tombs_broadcast_max_rows = 0
+        plan2 = _plan(engine.frontier())
+        assert "BroadcastHashJoin" not in plan2, plan2
+        assert "LeftAnti" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
