@@ -890,6 +890,60 @@ def frontier_band_counts(spark, sf_dir):
     return visible.groupBy("band").agg(F.count(F.lit(1)).alias("n_visible"))
 
 
+@register(
+    "frontier_gated_band_cover",
+    """
+    WITH rows_ AS (
+      SELECT l_orderkey AS fingerprint,
+             CAST(l_orderkey % 9973 AS INTEGER) AS host,
+             CAST(l_partkey % 7 AS INTEGER) AS band
+      FROM lineitem),
+    ranked AS (
+      SELECT band,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY band, fingerprint) AS rk
+      FROM rows_),
+    per_band AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS n_eligible
+      FROM ranked WHERE rk <= 3 GROUP BY band)
+    SELECT band, n_eligible,
+           CAST(SUM(n_eligible) OVER (ORDER BY band
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_eligible,
+           CASE WHEN COALESCE(SUM(n_eligible) OVER (ORDER BY band
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 150
+                THEN 1 ELSE 0 END AS opened_for_k150
+    FROM per_band
+    """,
+)
+def frontier_gated_band_cover(spark, sf_dir):
+    """Per-band ELIGIBLE counts under a per-host politeness budget, plus the
+    band prefix a gated k-lease must open — the semantic contract behind
+    engine._gated_lease_inputs' incremental band opening (round 5): a row's
+    eligibility depends only on same-host rows in its own and lower bands,
+    so per-band eligible counts accumulate lowest-band-first, and a band is
+    opened iff the cumulative eligible count BEFORE it is still < k."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_orderkey").alias("fingerprint"),
+        (F.col("l_orderkey") % 9973).cast("int").alias("host"),
+        (F.col("l_partkey") % 7).cast("int").alias("band"),
+    )
+    w = Window.partitionBy("host").orderBy("band", "fingerprint")
+    ranked = rows.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    per_band = ranked.groupBy("band").agg(F.count(F.lit(1)).alias("n_eligible"))
+    wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprev = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    return per_band.select(
+        "band",
+        "n_eligible",
+        F.sum("n_eligible").over(wb).cast("long").alias("cum_eligible"),
+        F.when(F.coalesce(F.sum("n_eligible").over(wprev), F.lit(0)) < 150, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("opened_for_k150"),
+    )
+
+
 def _band_sql(t: int, n_bits: int = 4) -> str:
     return " + ".join(
         f"(CASE WHEN emb[{t * n_bits + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
