@@ -3,6 +3,11 @@ tables gain a segment per commit, so per-bucket file counts grow linearly
 with iterations — compaction folds them back to O(1) per key without
 changing the visible rows."""
 
+import json
+import os
+import subprocess
+import sys
+
 from pyspark.sql import functions as F
 
 from feapder_spark.crawl.engine import CrawlConfig, CrawlEngine
@@ -41,6 +46,30 @@ def test_compact_items_folds_segments_and_heals_modulus(spark, tmp_path):
     v = e2.t("items").current_version()
     e2.compact_items()
     assert e2.t("items").current_version() == v
+
+
+def test_soak_default_cadence_stays_flat(tmp_path):
+    """Long-run soak (VERDICT r4 #8) at the DEFAULT compaction knobs: the
+    TTL incremental-crawl loop runs N iterations in its own process
+    (scripts/run_soak.py); per-iteration wall must stay flat (last decile ≤
+    2× first) and segment growth bounded by the trigger.  Default N=60
+    keeps the suite fast; the full-length drift evidence (N=560, one
+    default-trigger compaction cycle) is the same script, pinned in
+    BENCH/BASELINE.md §4 — run SPARK_GRAFT_SOAK_ITERS=560 to reproduce."""
+    iters = int(os.environ.get("SPARK_GRAFT_SOAK_ITERS", "60"))
+    script = os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts", "run_soak.py")
+    proc = subprocess.run(
+        [sys.executable, script, str(iters), str(tmp_path / "soak_wh")],
+        capture_output=True, text=True, timeout=7200,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["iterations"] == iters, "TTL loop must sustain every iteration"
+    assert report["decile_ratio"] <= 2.0, report
+    assert report["max_adds_segments"] <= 513, report
+    if iters > 513:
+        assert report["compactions_fired"] >= 1, report
+        assert report["final_adds_segments"] < report["max_adds_segments"], report
 
 
 def test_frontier_segment_count_trigger_bounds_file_growth(spark, tmp_path):
