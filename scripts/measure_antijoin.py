@@ -42,6 +42,7 @@ def rest_totals() -> dict:
 
 def main() -> int:
     wh = sys.argv[1] if len(sys.argv) > 1 else "/tmp/aj_wh"
+    n_tombs_arg = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -62,7 +63,7 @@ def main() -> int:
         spark, wh, web, CrawlConfig(batch_size=50_000, max_retries=0)
     )
     engine._init_tables()
-    n_adds, n_tombs = 2_000_000, 1_000_000
+    n_adds, n_tombs = 2_000_000, n_tombs_arg
     adds = spark.range(n_adds).select(
         F.md5(F.col("id").cast("string")).alias("fingerprint"),
         F.concat(F.lit("http://h"), F.col("id") % 50, F.lit(".test/p"), F.col("id")).alias("url"),

@@ -107,6 +107,42 @@ candidate generation and verify are both hash joins.)
 """
 
 
+# Round-5 pinned measurements (soak + anti-join seam) — filled in by the
+# round-5 measurement runs; see scripts/run_soak.py and
+# scripts/measure_antijoin.py for the protocols.
+ROUND5_SECTION = """## 5. Round-5 notes (measured 2026-08-17, pinned)
+
+- **Compaction soak at the DEFAULT cadence** (VERDICT r4 #8;
+  scripts/run_soak.py, 560 TTL-mode iterations, compact_min_segments=512
+  untouched): the adds delta log grew to 511 segments, the default
+  segment-count trigger fired ONCE, folded it to 1 segment/band (50 leaf
+  files at end, 48 post-compaction iterations), and per-iteration wall
+  stayed bounded — first decile 3.79 s, last decile 6.84 s, **decile ratio
+  1.81 ≤ 2**; the pre-compaction peak (~2x first-decile, dominated by the
+  TTL mode's full-delta-log snapshot read opening every segment) reset to
+  first-decile level after the fold.  Drift rate ≈15 ms/segment/iteration
+  at sandbox scale — linear in segment count, bounded by the trigger.
+  (tests/test_compaction.py::test_soak_default_cadence_stays_flat drives
+  the same script; SPARK_GRAFT_SOAK_ITERS=560 reproduces this full run.)
+- **Visibility anti-join seam closed by a driver-count broadcast hint**
+  (VERDICT r4 #5; scripts/measure_antijoin.py, 2M adds / 1M tombstones —
+  a delta log HALF tombstones, REST-measured stage shuffle bytes):
+  shuffle path 101.8 MB shuffled per visibility read; broadcast path
+  **460 B (−100%)**.  Walls statistically par on this one box (1.4-2.1 s
+  shuffle vs 1.9-3.0 s broadcast; the driver builds a 1M-row hash relation
+  once per read) — the win is plan shape: the adds side loses its Exchange
+  AND the stage barrier, and on a real cluster the 100 MB shuffle is
+  network+spill while the broadcast ships once per executor.  At 100k
+  tombstones BOTH variants show ~0 shuffle bytes: Spark's size-estimate
+  auto-broadcast already covers the ≤10 MB regime, so the explicit
+  driver-tracked-count hint (cfg.tombs_broadcast_max_rows=1M) extends the
+  no-shuffle regime ~100x beyond the size heuristic without touching the
+  global autoBroadcastJoinThreshold.  Visible-read ≈ 11% of a 50k-batch
+  iteration wall on this fixture (engine plan tests pin the
+  BroadcastHashJoin LeftAnti shape and the fallback above the bound).
+"""
+
+
 def run_at(cpus: int, *, n_hosts: int, pages_per_host: int, batch_size: int, iterations: int, page_weight: int = 3, wh_base: str | None = None) -> dict:
     from pyspark.sql import SparkSession
 
@@ -424,6 +460,7 @@ keys/s, in-proc Bloom ~20k keys/s; this engine's vectorized in-proc Bloom:
 see `dedup_keys_per_sec` in the bench JSON (>100k keys/s).
 
 {SF1_SECTION}
+{ROUND5_SECTION}
 Generated: {result['generated']} by scripts/run_scaling.py
 """
         )
