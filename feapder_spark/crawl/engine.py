@@ -1248,11 +1248,16 @@ class CrawlEngine:
                 lambda: self.t("failed").commit(self._sized(failed_new, failed_n), mode="append")
             )
         commits.append(
-            # the global lease-seq window runs here, inside the commit thread
-            # (bounded by k; concurrent with the big docs/frontier writes)
+            # the global lease-seq derivation runs here, inside the commit
+            # thread (concurrent with the big docs/frontier writes).  Only
+            # the lease-order columns ride into it — seq needs (priority,
+            # fingerprint) alone, and the scale path materializes its input
+            # (localCheckpoint), so narrowing first cuts those bytes ~30x
             lambda: self.t("crawl_order").commit(
                 self._sized(
-                    FR.with_lease_seq(batch, self.next_seq, n_rows=leased).select(
+                    FR.with_lease_seq(
+                        batch.select(*S.ORDER_COLS), self.next_seq, n_rows=leased
+                    ).select(
                         "seq", F.lit(self.iteration).alias("iteration"), "fingerprint"
                     ),
                     leased,

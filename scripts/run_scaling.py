@@ -307,9 +307,10 @@ def main() -> None:
     params = _params(quick)
     dp_hosts, dp_pages = (300, 160) if quick else (600, 320)
     reps = 1 if quick else 3
-    d2 = _spawn("dataplane", 2, quick)
-    d8 = _spawn("dataplane", 8, quick)
-    d32 = _spawn("dataplane", 32, quick)
+    dp_reps = 1 if quick else 2
+    d2 = _spawn("dataplane", 2, quick, repeats=dp_reps)
+    d8 = _spawn("dataplane", 8, quick, repeats=dp_reps)
+    d32 = _spawn("dataplane", 32, quick, repeats=dp_reps)
     dp_eff_28 = (d8["pages_per_sec"] / d2["pages_per_sec"]) / 4
     dp_eff_832 = (d32["pages_per_sec"] / d8["pages_per_sec"]) / 4
 
