@@ -160,6 +160,22 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    if os.environ.get("SPARK_GRAFT_SUITE_ONLY"):
+        # sf-scaling re-anchor mode (BASELINE §3): only the query suite
+        # depends on sf_dir — the crawl/dedup sections run on synthetic
+        # inputs of their own and would just add noise to an sf1-vs-sf0.1
+        # comparison, so skip them and emit suite timings alone.
+        print(json.dumps({
+            "metric": "headline query suite wall time at sf",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "cpus": cpus,
+            "host_canary_md5_mbps": canary,
+        }))
+        return
+
     # warm the crawl path once (python workers, Arrow codecs, commit pools)
     # so the exact-vs-bloom pair compares engines, not who ran first
     crawl_bench(spark, n_hosts=20, pages_per_host=10, batch_size=200, max_iterations=1)
