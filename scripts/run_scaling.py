@@ -304,6 +304,31 @@ def _spawn(kind: str, cpus: int, quick: bool, repeats: int = 1) -> dict:
     return best
 
 
+def _spawn_interleaved(kind: str, reps_by_level: dict[int, int], quick: bool) -> tuple[dict[int, dict], list[float]]:
+    """Interleaved best-of-N across parallelism levels: the rep loop is
+    OUTSIDE the level loop (2, 8, 32, 2, 8, 32, ...), so every level
+    samples the same host phases.  The sequential per-level protocol has a
+    failure mode this host actually exhibits: its speed can halve mid-run
+    (a measured canary fall of 644 -> 250 MB/s across one report), and with
+    all of local[2]'s reps before local[8]'s, the whole slowdown lands on
+    the larger level and reads as an engine efficiency loss.  Interleaving
+    makes host drift degrade all levels alike, so the best-of ratio
+    measures the engine.  Returns ({cpus: best_result}, [canary per rep])."""
+    from bench import host_canary
+
+    best: dict[int, dict] = {}
+    canaries: list[float] = []
+    for rep in range(max(reps_by_level.values())):
+        canaries.append(host_canary())
+        for cpus, reps in reps_by_level.items():
+            if rep >= reps:
+                continue
+            r = _spawn(kind, cpus, quick, repeats=1)
+            if cpus not in best or r["wall_sec"] < best[cpus]["wall_sec"]:
+                best[cpus] = r
+    return best, canaries
+
+
 def _alu_work(n: int) -> int:
     s = 0
     for i in range(n):
@@ -355,21 +380,19 @@ def main() -> None:
     dp_hosts, dp_pages = (300, 160) if quick else (600, 320)
     reps = 1 if quick else 3
     dp_reps = 1 if quick else 3
-    d2 = _spawn("dataplane", 2, quick, repeats=dp_reps)
-    d8 = _spawn("dataplane", 8, quick, repeats=dp_reps)
-    d32 = _spawn("dataplane", 32, quick, repeats=dp_reps)
+    dp, dp_canaries = _spawn_interleaved("dataplane", {2: dp_reps, 8: dp_reps, 32: dp_reps}, quick)
+    d2, d8, d32 = dp[2], dp[8], dp[32]
     dp_eff_28 = (d8["pages_per_sec"] / d2["pages_per_sec"]) / 4
     dp_eff_832 = (d32["pages_per_sec"] / d8["pages_per_sec"]) / 4
 
-    r2 = _spawn("full", 2, quick, repeats=reps)
-    r8 = _spawn("full", 8, quick, repeats=reps)
-    r32 = _spawn("full", 32, quick, repeats=1 if quick else 2)
+    fl, fl_canaries = _spawn_interleaved("full", {2: reps, 8: reps, 32: 1 if quick else 2}, quick)
+    r2, r8, r32 = fl[2], fl[8], fl[32]
     eff_28 = (r8["urls_per_sec"] / r2["urls_per_sec"]) / 4
     eff_832 = (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4
     # tmpfs-warehouse pair (VERDICT r4 #4): same loop, commits phase on
     # /dev/shm — isolates the one-box disk from the 8->32 comparison
-    s8 = _spawn("full_shm", 8, quick)
-    s32 = _spawn("full_shm", 32, quick)
+    shm, _ = _spawn_interleaved("full_shm", {8: 1, 32: 1}, quick)
+    s8, s32 = shm[8], shm[32]
     eff_832_shm = (s32["urls_per_sec"] / s8["urls_per_sec"]) / 4
     canary_end = host_canary()
     canary = round((canary_start + canary_end) / 2, 1)
@@ -381,7 +404,8 @@ def main() -> None:
                       "eff_2_to_8": round(eff_28, 3), "eff_8_to_32": round(eff_832, 3)},
         "full_loop_shm": {"local8": s8, "local32": s32,
                           "eff_8_to_32": round(eff_832_shm, 3)},
-        "canary": {"start": canary_start, "end": canary_end, "ref": CANARY_REF},
+        "canary": {"start": canary_start, "end": canary_end, "ref": CANARY_REF,
+                   "dataplane_reps": dp_canaries, "full_loop_reps": fl_canaries},
         "host_parallel_ceiling": ceiling,
         "generated": datetime.now(timezone.utc).isoformat(),
     }
@@ -407,9 +431,13 @@ local[8] -> local[32] is reported for transparency — this VM cannot deliver
 4x from 8->32 even for plain multiprocessing (a pure-python 32-process ALU
 loop reaches only ~3.4x over 8, i.e. 0.85, and memory-bound work less), so
 the 8->32 number reflects host saturation, not engine serialization.
-Full-loop levels are best-of-3 fresh-process runs: this host's background
-load swings single runs by 30-60%, and the best run measures the engine,
-not a host hiccup.
+Levels are best-of-3 fresh-process runs with the rep loop OUTSIDE the
+level loop (2, 8, 32, 2, 8, 32, ...): this host's background load swings
+single runs by 30-60% and its speed can halve mid-report (one sequential
+run measured the canary falling 644 -> 250 MB/s), so sequential per-level
+reps would land the whole slowdown on whichever level ran last and misread
+host drift as engine (in)efficiency.  Interleaving makes drift hit all
+levels alike; a per-rep canary rides in the JSON for transparency.
 ## 0. Canary-normalized protocol (cross-round comparability)
 
 The host's absolute speed drifts ~2x across hours (the unchanged
