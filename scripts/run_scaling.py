@@ -27,43 +27,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # sf0.1) on the same host in the same hour, fresh JVM per run — evidence the
 # query shapes hold past the sandbox sf, not absolute-speed claims (this
 # VM's absolute throughput swings ~2x across hours; ratios within one
-# session are stable).  Measured 2026-08-16, local[32].
+# session are stable).  Re-anchored 2026-08-17 (VERDICT r4 #7), local[32],
+# via `bench.py` suite-only mode (SPARK_GRAFT_BENCH_SUITE_ONLY=1).
 SF1_SECTION = """## 3. sf1 query-suite datapoint (10x rows, same plans)
 
-20-query headline suite: **35.2 s at sf0.1 -> 55.6 s at sf1** (1.58x wall
-for 10x data).  Every query stays under 2.4x its sf0.1 time — no shuffle
-cliff anywhere (VERDICT r2 asked for <10x/query).  The one former cliff,
-ann_verified_neardups (14.8x on the first sf1 run), was a fixed-bucket-bits
-LSH: bits now adapt to table size (operators/similarity.py:adaptive_bits,
-E[bucket]~=32 held constant), turning the 10x scale-up into 1.79x.
+20-query headline suite: **30.8 s at sf0.1 -> 46.9 s at sf1** (1.53x wall
+for 10x data; re-anchored this round after fused-bloom/banding/lease-seq
+landed — the r3-era anchor read 35.2 -> 55.6 at 1.58x).  Every query stays
+under 2.3x its sf0.1 time — no shuffle cliff anywhere (VERDICT r2 asked
+for <10x/query).  The one former cliff, ann_verified_neardups (14.8x on
+the first sf1 run), was a fixed-bucket-bits LSH: bits now adapt to table
+size (operators/similarity.py:adaptive_bits, E[bucket]~=32 held constant),
+holding the 10x scale-up to 1.20x this anchor.
 
 | query | sf0.1 (s) | sf1 (s) | ratio |
 |---|---|---|---|
-| frontier_topk_lease | 1.93 | 2.69 | 1.39x |
-| seen_antijoin | 1.67 | 2.91 | 1.74x |
-| inbatch_dup_mark | 1.23 | 1.44 | 1.17x |
-| task_state_rollup | 0.49 | 0.63 | 1.30x |
-| batch_progress | 0.88 | 1.61 | 1.84x |
-| politeness_host_rank | 0.80 | 1.44 | 1.80x |
-| dedup_exact | 2.39 | 2.14 | 0.89x |
-| token_stats | 0.51 | 1.19 | 2.33x |
-| quality_score | 0.43 | 0.54 | 1.25x |
-| minhash_signatures | 3.28 | 5.30 | 1.61x |
-| minhash_lsh_candidates | 3.90 | 5.79 | 1.48x |
-| minhash_verified_dups | 5.09 | 11.83 | 2.32x |
-| simhash | 1.83 | 2.76 | 1.50x |
-| embedding_cosine_topk | 0.70 | 1.39 | 1.98x |
-| ann_ivf_topk | 0.74 | 0.86 | 1.17x |
-| ann_verified_neardups | 1.65 | 2.96 | 1.79x |
-| ann_multiband_neardups | 5.47 | 6.99 | 1.28x |
-| sessionize | 0.85 | 1.33 | 1.57x |
-| crawl_rate_window | 0.70 | 1.03 | 1.47x |
-| pricing_rollup | 0.61 | 0.77 | 1.25x |
+| frontier_topk_lease | 2.00 | 2.18 | 1.09x |
+| seen_antijoin | 1.67 | 2.58 | 1.54x |
+| inbatch_dup_mark | 0.93 | 1.24 | 1.33x |
+| task_state_rollup | 0.57 | 0.55 | 0.97x |
+| batch_progress | 0.74 | 0.91 | 1.22x |
+| politeness_host_rank | 0.69 | 1.00 | 1.44x |
+| dedup_exact | 1.76 | 2.16 | 1.22x |
+| token_stats | 0.38 | 0.87 | 2.29x |
+| quality_score | 0.38 | 0.51 | 1.35x |
+| minhash_signatures | 2.87 | 4.36 | 1.52x |
+| minhash_lsh_candidates | 3.52 | 5.27 | 1.50x |
+| minhash_verified_dups | 4.54 | 10.24 | 2.25x |
+| simhash | 1.60 | 2.21 | 1.38x |
+| embedding_cosine_topk | 0.63 | 0.89 | 1.42x |
+| ann_ivf_topk | 0.68 | 0.59 | 0.87x |
+| ann_verified_neardups | 1.34 | 1.61 | 1.20x |
+| ann_multiband_neardups | 4.82 | 7.05 | 1.46x |
+| sessionize | 0.65 | 1.10 | 1.70x |
+| crawl_rate_window | 0.53 | 0.94 | 1.78x |
+| pricing_rollup | 0.45 | 0.67 | 1.48x |
 
-(minhash_verified_dups' 2.32x reflects the synthetic sf1 data carrying
+(minhash_verified_dups' 2.25x reflects the synthetic sf1 data carrying
 superlinearly more genuinely-similar pairs — cross-shard vocab overlap —
 so the verify stage has more real work, not a plan regression; its
-candidate generation and verify are both hash joins.)
+candidate generation and verify are both hash joins.  The back-to-back
+runs' canary fell 618 -> 541 MB/s between sf0.1 and sf1, so the sf1
+ratios are if anything slightly overstated.)
 
 ## 4. Round-4 notes (measured 2026-08-17, pinned)
 
@@ -150,6 +155,17 @@ ROUND5_SECTION = """## 5. Round-5 notes (measured 2026-08-17, pinned)
   11.21 s vs r5 best 10.62 s — **r5 code is not slower; the host is**.
   §1 therefore reports the same-hour ALU ceiling next to the engine
   efficiency, and the engine-to-ceiling ratio is the number to read.
+- **Full-loop A/B, same protocol** (scripts/run_ab_fullloop.sh: two
+  interleaved cycles of r4-code/r5-code x local[2]/local[8] on the
+  identical 528k full-loop job, fresh process each): r5 best at local[8]
+  **62.4 s vs r4's 123.0 s — r5's full loop is 2.0x faster** (gated-lease
+  banding + Iceberg-scale lease-seq + tombstone broadcast landed this
+  round), and same-hour 2->8 efficiency is r4 = 0.41 vs r5 = 0.74.  r4's
+  recorded 0.840 is thus not reproducible today BY R4'S OWN CODE — the
+  full-loop efficiency movement vs §2's prior anchor is host phase, while
+  the engine itself got 2x faster at the 4N level.  (r5 full-loop walls
+  across the day's runs: local[2] 162.6-204.7 s, local[8] 57.1-64.2 s;
+  best-of pairing yields 0.71-0.74.)
 """
 
 
@@ -371,6 +387,12 @@ def main() -> None:
         i = sys.argv.index("--one")
         print(json.dumps(_one(sys.argv[i + 1], int(sys.argv[i + 2]), quick)))
         return
+    if "--render" in sys.argv:
+        i = sys.argv.index("--render")
+        with open(sys.argv[i + 1]) as f:
+            line = next(ln for ln in f if ln.lstrip().startswith("{"))
+        write_report(json.loads(line))
+        return
     from bench import CANARY_REF, host_canary
 
     host_canary()
@@ -410,6 +432,30 @@ def main() -> None:
         "generated": datetime.now(timezone.utc).isoformat(),
     }
     print(json.dumps(result))
+    write_report(result, dp_hosts=dp_hosts, dp_pages=dp_pages)
+
+
+def write_report(result: dict, dp_hosts: int = 600, dp_pages: int = 320) -> None:
+    """Render BENCH/BASELINE.md from a run's result dict.
+
+    Also reachable offline via `--render <file>` where <file> contains the
+    JSON line a prior full run printed — lets the pinned-notes text evolve
+    without re-running ~40 min of measurement.
+    """
+    from bench import CANARY_REF
+
+    params = result["params"]
+    dp, fl, shm = result["dataplane"], result["full_loop"], result["full_loop_shm"]
+    d2, d8, d32 = dp["local2"], dp["local8"], dp["local32"]
+    r2, r8, r32 = fl["local2"], fl["local8"], fl["local32"]
+    s8, s32 = shm["local8"], shm["local32"]
+    dp_eff_28, dp_eff_832 = dp["eff_2_to_8"], dp["eff_8_to_32"]
+    eff_28, eff_832 = fl["eff_2_to_8"], fl["eff_8_to_32"]
+    eff_832_shm = shm["eff_8_to_32"]
+    ceiling = result["host_parallel_ceiling"]
+    canary_start = result["canary"]["start"]
+    canary_end = result["canary"]["end"]
+    canary = round((canary_start + canary_end) / 2, 1)
     trace8 = "\n".join(r8.get("trace", [])) or "(no trace captured)"
     trace32 = "\n".join(r32.get("trace", [])) or "(no trace captured)"
     trace32s = "\n".join(s32.get("trace", [])) or "(no trace captured)"
@@ -496,7 +542,9 @@ full-grid seed list, batch_size={params['batch_size']}, {params['iterations']} i
 | local[32]       | {r32['urls']} | {r32['dedup_checks']} | {r32['wall_sec']} | {r32['urls_per_sec']} |
 
 **full-loop scaling efficiency N->4N (2->8) = {round(eff_28, 3)}**
-(8->32 = {round(eff_832, 3)})
+(8->32 = {round(eff_832, 3)}; §5 "Full-loop A/B" explains this anchor's
+movement vs r4's recorded 0.840 — in today's host phase r4's own code
+measures 0.41 on this protocol while r5 runs the 4N level 2.0x faster)
 
 The full loop carries a fixed per-iteration cost (snapshot commits + job
 scheduling) independent of batch size; at sandbox-small batches it taxes
