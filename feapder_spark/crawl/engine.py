@@ -1275,7 +1275,11 @@ class CrawlEngine:
             # min(burst, t + m·rate) composes across skipped iterations
             # (oracle.py mirrors; required for the band-pruned gated lease)
             carry = bucket_state.join(accrued.select("host"), on="host", how="left_anti")
-            new_state = spent.unionByName(carry)
+            # prune rows whose as-of value has refilled to burst — they are
+            # exactly the absent-host default, so dropping them is
+            # behavior-invisible and keeps the overwritten state table
+            # O(still-refilling hosts), not O(every host ever crawled)
+            new_state = self._buckets.prune(spent.unionByName(carry), self.iteration)
             commits.append(
                 lambda: self.t("token_buckets").commit(self._sized(new_state, 10_000), mode="overwrite")
             )

@@ -51,6 +51,25 @@ class TokenBuckets:
             "host", tokens.alias("tokens"), F.lit(iteration).alias("updated_iteration")
         )
 
+    def prune(self, state: DataFrame, iteration: int) -> DataFrame:
+        """Drop rows indistinguishable from an absent host.
+
+        ``accrue`` starts an absent host at ``burst``, and a persisted row's
+        as-of value is ``min(burst, tokens + elapsed·rate)`` — so once that
+        value reaches burst the row IS the absent-host default forever (the
+        min caps it there) and can be deleted.  This bounds the persisted
+        state table to hosts still refilling (recently leased, or zero-rate
+        hosts, which never refill and must stay) instead of growing with
+        every host ever crawled — at web scale the difference between an
+        O(active-hosts) and an O(total-hosts) overwrite per iteration.
+        Behavior-invisible by construction: budgets/lease schedules are
+        unchanged (test_token_bucket_equivalence pins this)."""
+        elapsed = F.greatest(
+            F.lit(0), F.lit(iteration) - F.col("updated_iteration")
+        )
+        as_of = F.col("tokens") + elapsed * self._rate_col(state.sparkSession)
+        return state.filter(as_of < F.lit(self.burst))
+
     @staticmethod
     def budgets(state: DataFrame) -> DataFrame:
         """Per-iteration budget = whole tokens available now."""
