@@ -475,7 +475,9 @@ class CrawlEngine:
                 # every non-empty band opened — nothing left to probe for
                 return due, budgets, accrued, bucket_state, keys
             n_eligible = (
-                FR.eligible_under_politeness(due, budgets, self._default_budget)
+                FR.eligible_under_politeness(
+                    due, budgets, self._default_budget, self._budget_cap()
+                )
                 .limit(k)
                 .count()
             )
@@ -727,6 +729,28 @@ class CrawlEngine:
             # only the robots dimension names (frontier.merge_budgets)
             return FR.merge_budgets(self._budgets, self._default_budget, dyn)
         return self._budgets
+
+    def _budget_cap(self) -> int | None:
+        """Driver-known upper bound on every host's EFFECTIVE budget this
+        iteration, or None when no finite bound is known.
+
+        Passed to eligible_under_politeness as the literal rank cap that
+        unlocks Catalyst's WindowGroupLimit (Partial) — map-side pruning of
+        a Zipf-hot host's due rows before the host-hash shuffle.  Bounds:
+        with token buckets on, merged budget = min(static side,
+        floor(tokens)) <= floor(burst) for every due host (accrue covers
+        the whole due set); with a static politeness dict carrying
+        ``__default__``, every host <= max(dict values) and the robots min
+        can only lower it.  Robots-only (or a dict without ``__default__``)
+        leaves unnamed hosts unbounded — no literal cap."""
+        import math
+
+        if self._buckets is not None:
+            return int(math.floor(self._buckets.burst))
+        pol = self.cfg.politeness
+        if pol and "__default__" in pol:
+            return max(int(v) for v in pol.values())
+        return None
 
     def _claim_new(self, cands, add_version: int | None = None):
         """Claim-on-enqueue dedup, exact or Bloom path.
@@ -989,7 +1013,9 @@ class CrawlEngine:
                 cfg.batch_size, budgets
             )
             self._last_lease_bands = band_keys
-            batch = FR.take_batch(due, cfg.batch_size, budgets, self._default_budget).persist()
+            batch = FR.take_batch(
+                due, cfg.batch_size, budgets, self._default_budget, self._budget_cap()
+            ).persist()
 
         # fused fetch+parse: one python eval per task (fetcher.py rationale)
         # host-grouped partitioning only matters when per-host rate limits

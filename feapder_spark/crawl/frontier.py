@@ -81,13 +81,31 @@ def merge_budgets(base: DataFrame | None, base_default: int, extra: DataFrame) -
 
 
 def eligible_under_politeness(
-    due: DataFrame, budgets: DataFrame | None, default_budget: int = 1_000_000_000
+    due: DataFrame,
+    budgets: DataFrame | None,
+    default_budget: int = 1_000_000_000,
+    max_budget: int | None = None,
 ) -> DataFrame:
-    """Keep at most budget(host) due rows per host, chosen in the lease order."""
+    """Keep at most budget(host) due rows per host, chosen in the lease order.
+
+    ``max_budget`` — a driver-known upper bound on EVERY host's effective
+    budget (e.g. floor(burst) with token buckets on) — is applied as a
+    LITERAL rank filter directly on the window.  The per-host budget filter
+    compares against a joined column, which Catalyst's InferWindowGroupLimit
+    cannot use; the literal cap lets it insert WindowGroupLimit in Partial
+    mode BEFORE the host-hash shuffle, so a Zipf-hot host contributes at
+    most ``max_budget`` rows per input partition to the window task instead
+    of its entire due set — the skew bound for the politeness-gated lease
+    at web scale.  Rows it drops have rank > max_budget >= budget(host) and
+    were never eligible, so results are unchanged (plan test pins both the
+    node and the equality).
+    """
     if budgets is None:
         return due
     w = Window.partitionBy("host").orderBy(*[F.col(c) for c in S.ORDER_COLS])
     ranked = due.withColumn("_host_rank", F.row_number().over(w))
+    if max_budget is not None:
+        ranked = ranked.filter(F.col("_host_rank") <= F.lit(int(max_budget)))
     return (
         ranked.join(F.broadcast(budgets), on="host", how="left")
         .filter(F.col("_host_rank") <= F.coalesce(F.col("budget"), F.lit(default_budget)))
@@ -100,12 +118,13 @@ def take_batch(
     k: int,
     budgets: DataFrame | None = None,
     default_budget: int = 1_000_000_000,
+    max_budget: int | None = None,
 ) -> DataFrame:
     """Lease the next batch: politeness gate → global top-k by (priority, fp).
 
     Compiles to window + TakeOrderedAndProject; no global sort, no collect.
     """
-    eligible = eligible_under_politeness(due, budgets, default_budget)
+    eligible = eligible_under_politeness(due, budgets, default_budget, max_budget)
     return eligible.orderBy(*[F.col(c) for c in S.ORDER_COLS]).limit(k)
 
 

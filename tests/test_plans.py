@@ -157,3 +157,34 @@ def test_tombstone_antijoin_broadcasts_below_bound(spark, tmp_path):
         assert "LeftAnti" in plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_gated_rank_cap_inserts_window_group_limit(spark):
+    # the per-host budget filter compares rank to a JOINED column, which
+    # InferWindowGroupLimit can't use; the driver-known literal cap
+    # (engine._budget_cap: floor(burst) with token buckets on) must insert
+    # WindowGroupLimit in Partial mode BEFORE the host-hash shuffle, so a
+    # Zipf-hot host ships at most cap rows per input partition to the
+    # window task instead of its whole due set — and the eligible SET must
+    # be identical with and without the cap
+    due = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.sha1(F.concat_ws("|", "l_orderkey", "l_linenumber")).alias("fingerprint"),
+        (F.col("l_orderkey") % 3).cast("int").alias("priority"),
+        # 4 hosts over 60k rows — heavily skewed window partitions
+        (F.col("l_partkey") % 4).cast("string").alias("host"),
+    )
+    budgets = spark.createDataFrame([("0", 2), ("1", 3)], "host STRING, budget INT")
+    capped = FR.eligible_under_politeness(due, budgets, default_budget=5, max_budget=5)
+    plan = _plan(capped)
+    assert plan.count("WindowGroupLimit") >= 2, plan  # Partial + Final
+    # tree order (root first): Final ... Exchange hashpartitioning(host) ...
+    # Partial — a WindowGroupLimit BELOW the host-hash shuffle is the
+    # map-side prune
+    tree = capped._jdf.queryExecution().executedPlan().toString()
+    below_shuffle = tree.split("Exchange hashpartitioning(host", 1)[1]
+    assert "WindowGroupLimit" in below_shuffle, tree
+    uncapped = FR.eligible_under_politeness(due, budgets, default_budget=5)
+    assert "WindowGroupLimit" not in _plan(uncapped)
+    a = sorted(tuple(r) for r in capped.collect())
+    b = sorted(tuple(r) for r in uncapped.collect())
+    assert a == b and len(a) == 2 + 3 + 5 + 5  # hosts 0,1 capped; 2,3 default
