@@ -155,6 +155,27 @@ ROUND5_SECTION = """## 5. Round-5 notes (measured 2026-08-17, pinned)
   11.21 s vs r5 best 10.62 s — **r5 code is not slower; the host is**.
   §1 therefore reports the same-hour ALU ceiling next to the engine
   efficiency, and the engine-to-ceiling ratio is the number to read.
+- **Gated-lease hot-host skew bound, measured** (scripts/
+  measure_windowcap.py; one host holding 4M of 5M due rows, budget 3):
+  the per-host budget filter compares rank to a JOINED column, which
+  InferWindowGroupLimit can't use — so the host-hash shuffle shipped the
+  hot host's whole due set into ONE window task.  The effective budget has
+  a driver-known upper bound (floor(burst) with token buckets on; the max
+  static politeness value when ``__default__`` caps all hosts), and
+  applying it as a LITERAL rank filter on the window inserts
+  WindowGroupLimit in Partial mode before the Exchange: eligible-count
+  wall 15.09 s -> **1.75 s (8.6x)**, shuffle bytes 211.9 MB -> **2.2 MB
+  (−99.0%)**, identical eligible set (plan test pins the node below the
+  shuffle and result equality).  This is the Zipf-skew bound for the
+  politeness gate: each input partition ships at most cap rows per host.
+- **Token-bucket state stays O(refilling hosts)**: persist-state rows
+  whose as-of value has refilled to burst equal the absent-host default
+  exactly (accrue starts absent hosts at burst; the min caps composition
+  there), so the engine prunes them on the per-iteration overwrite —
+  without this the r5 persist semantics would rewrite a row for every
+  host EVER crawled each iteration.  Zero-rate hosts never refill and are
+  kept.  Behavior-invisible (equivalence suites green; verified via a
+  two-process spark-submit resume on a pruned state table).
 - **Full-loop A/B, same protocol** (scripts/run_ab_fullloop.sh: two
   interleaved cycles of r4-code/r5-code x local[2]/local[8] on the
   identical 528k full-loop job, fresh process each): r5 best at local[8]
