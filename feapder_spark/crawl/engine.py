@@ -160,6 +160,14 @@ class CrawlConfig:
     # the broadcast hash relation → 1M rows ≈ 100 MB, executor-friendly;
     # beyond it the plain shuffle join (bounded by compaction) takes over.
     tombs_broadcast_max_rows: int = 1_000_000
+    # politeness-budgets broadcast bound: the gate's budgets frame is
+    # force-broadcast for a pinned plan, but with respect_robots on it is
+    # HOST-cardinality (a row per host ever robots-fetched) — at web scale
+    # that broadcast would OOM.  The engine bounds the frame's rows driver-
+    # side (robots_rows + static dict + token-bucket rows ≤ opened visible
+    # count) and drops the hint above this, letting Spark plan a shuffle
+    # join against the (already rank-capped) probe side.
+    budgets_broadcast_max_rows: int = 1_000_000
     # ExpireFilter semantics (dedup/expirefilter.py:17-81): a claimed
     # fingerprint stops deduping after the TTL, so the URL re-crawls.
     # seen_ttl_iterations is the deterministic loop unit (mirrored by the
@@ -265,6 +273,7 @@ class CrawlEngine:
         self.next_seq = 0
         self.frontier_size = 0  # maintained from known per-iteration deltas
         self.tombstone_rows = 0  # delta-log size; compaction resets it
+        self.robots_rows = 0  # robots-table size; bounds the budgets frame
         self._obs_fallbacks = 0  # diagnostics: links_new Observation misses
         self._last_lease_bands = None  # diagnostics: bands read by last lease
         self._budgets = (
@@ -439,9 +448,11 @@ class CrawlEngine:
         semantics — min(burst, t + m·rate) composes across skipped
         iterations, so lazy catch-up accrual is exact; oracle.py mirrors).
 
-        Returns ``(due, budgets, accrued, bucket_state, opened_keys)`` —
-        ``accrued``/``bucket_state`` are None without token buckets;
-        ``opened_keys`` is None on the full-read fallback.  The total read
+        Returns ``(due, budgets, accrued, bucket_state, opened_keys,
+        bcast_ok)`` — ``accrued``/``bucket_state`` are None without token
+        buckets; ``opened_keys`` is None on the full-read fallback;
+        ``bcast_ok`` says whether the budgets frame may be force-broadcast
+        (_budgets_bcast_ok over the opened subset's row bound).  The total read
         across retries is ≤ 2× the final subset (geometric growth), and the
         common case (budgets gate little) is ONE probe over O(k) rows.
         """
@@ -464,7 +475,7 @@ class CrawlEngine:
         if not plan:  # None (can't bound) or empty (drained) — read whole
             due = self._read_frontier_due()
             budgets, accrued = budget_inputs(due)
-            return due, budgets, accrued, bucket_state, None
+            return due, budgets, accrued, bucket_state, None, self._budgets_bcast_ok(None)
         total = sum(v for _, v in plan)
         cover = k
         while True:
@@ -476,18 +487,19 @@ class CrawlEngine:
                     break
             due = self._read_frontier_due(keys)
             budgets, accrued = budget_inputs(due)
+            bcast_ok = self._budgets_bcast_ok(cum)
             if cum >= total:
                 # every non-empty band opened — nothing left to probe for
-                return due, budgets, accrued, bucket_state, keys
+                return due, budgets, accrued, bucket_state, keys, bcast_ok
             n_eligible = (
                 FR.eligible_under_politeness(
-                    due, budgets, self._default_budget, self._budget_cap()
+                    due, budgets, self._default_budget, self._budget_cap(), bcast_ok
                 )
                 .limit(k)
                 .count()
             )
             if n_eligible >= k:
-                return due, budgets, accrued, bucket_state, keys
+                return due, budgets, accrued, bucket_state, keys, bcast_ok
             if accrued is not None:
                 accrued.unpersist()
             cover = max(cover * 4, cum + 1)
@@ -602,6 +614,7 @@ class CrawlEngine:
             "next_seq": self.next_seq,
             "frontier_size": self.frontier_size,
             "tombstone_rows": self.tombstone_rows,
+            "robots_rows": self.robots_rows,
         }
         label.update(extra)
         return label
@@ -722,6 +735,7 @@ class CrawlEngine:
         n_miss = fetched.count()
         if n_miss:
             robots_t.commit(self._sized(fetched, n_miss), mode="append")
+            self.robots_rows += n_miss
         fetched.unpersist()
         return RB.filter_allowed(cands, robots_t.read())
 
@@ -756,6 +770,19 @@ class CrawlEngine:
         if pol and "__default__" in pol:
             return max(int(v) for v in pol.values())
         return None
+
+    def _budgets_bcast_ok(self, opened_rows: int | None) -> bool:
+        """True when the merged budgets frame is provably small enough to
+        force-broadcast.  Row bound, all driver-tracked: robots hosts
+        (host-cardinality — the unbounded-at-web-scale side) + static dict
+        entries + token-bucket rows (one per due host, ≤ the opened
+        visible count when the band plan is known, else frontier_size)."""
+        bound = len(self.cfg.politeness or {})
+        if self.cfg.respect_robots:
+            bound += self.robots_rows
+        if self._buckets is not None:
+            bound += opened_rows if opened_rows is not None else self.frontier_size
+        return bound <= self.cfg.budgets_broadcast_max_rows
 
     def _claim_new(self, cands, add_version: int | None = None):
         """Claim-on-enqueue dedup, exact or Bloom path.
@@ -980,6 +1007,12 @@ class CrawlEngine:
             self.next_seq = ckpt["label"]["next_seq"]
             self.frontier_size = ckpt["label"].get("frontier_size", 0)
             self.tombstone_rows = ckpt["label"].get("tombstone_rows", 0)
+            rr = ckpt["label"].get("robots_rows")
+            if rr is None and self.cfg.respect_robots:
+                # pre-round-5 checkpoint: count once rather than wrongly
+                # assuming a small (broadcastable) robots table
+                rr = self.t("robots").read().count()
+            self.robots_rows = rr or 0
             self._check_bloom_modulus()
         return ckpt
 
@@ -1014,12 +1047,13 @@ class CrawlEngine:
             else:
                 batch = FR.take_batch(due, cfg.batch_size).persist()
         else:
-            due, budgets, accrued, bucket_state, band_keys = self._gated_lease_inputs(
-                cfg.batch_size, budgets
+            due, budgets, accrued, bucket_state, band_keys, bcast_ok = (
+                self._gated_lease_inputs(cfg.batch_size, budgets)
             )
             self._last_lease_bands = band_keys
             batch = FR.take_batch(
-                due, cfg.batch_size, budgets, self._default_budget, self._budget_cap()
+                due, cfg.batch_size, budgets, self._default_budget,
+                self._budget_cap(), bcast_ok,
             ).persist()
 
         # fused fetch+parse: one python eval per task (fetcher.py rationale)

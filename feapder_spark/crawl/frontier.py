@@ -85,6 +85,7 @@ def eligible_under_politeness(
     budgets: DataFrame | None,
     default_budget: int = 1_000_000_000,
     max_budget: int | None = None,
+    broadcast_budgets: bool = True,
 ) -> DataFrame:
     """Keep at most budget(host) due rows per host, chosen in the lease order.
 
@@ -99,6 +100,14 @@ def eligible_under_politeness(
     at web scale.  Rows it drops have rank > max_budget >= budget(host) and
     were never eligible, so results are unchanged (plan test pins both the
     node and the equality).
+
+    ``broadcast_budgets=False`` drops the broadcast hint: with
+    ``respect_robots`` on, the budgets frame is HOST-cardinality (one row
+    per host ever robots-fetched) — force-broadcasting it at web scale
+    would OOM the executors, so the engine disables the hint once its
+    driver-tracked row bound exceeds cfg.budgets_broadcast_max_rows and
+    lets Spark plan a shuffle join (whose probe side is already pruned to
+    ≤ max_budget rows per host by the WindowGroupLimit cap).
     """
     if budgets is None:
         return due
@@ -106,8 +115,9 @@ def eligible_under_politeness(
     ranked = due.withColumn("_host_rank", F.row_number().over(w))
     if max_budget is not None:
         ranked = ranked.filter(F.col("_host_rank") <= F.lit(int(max_budget)))
+    bside = F.broadcast(budgets) if broadcast_budgets else budgets
     return (
-        ranked.join(F.broadcast(budgets), on="host", how="left")
+        ranked.join(bside, on="host", how="left")
         .filter(F.col("_host_rank") <= F.coalesce(F.col("budget"), F.lit(default_budget)))
         .drop("_host_rank", "budget")
     )
@@ -119,12 +129,15 @@ def take_batch(
     budgets: DataFrame | None = None,
     default_budget: int = 1_000_000_000,
     max_budget: int | None = None,
+    broadcast_budgets: bool = True,
 ) -> DataFrame:
     """Lease the next batch: politeness gate → global top-k by (priority, fp).
 
     Compiles to window + TakeOrderedAndProject; no global sort, no collect.
     """
-    eligible = eligible_under_politeness(due, budgets, default_budget, max_budget)
+    eligible = eligible_under_politeness(
+        due, budgets, default_budget, max_budget, broadcast_budgets
+    )
     return eligible.orderBy(*[F.col(c) for c in S.ORDER_COLS]).limit(k)
 
 

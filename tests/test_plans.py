@@ -188,3 +188,37 @@ def test_gated_rank_cap_inserts_window_group_limit(spark):
     a = sorted(tuple(r) for r in capped.collect())
     b = sorted(tuple(r) for r in uncapped.collect())
     assert a == b and len(a) == 2 + 3 + 5 + 5  # hosts 0,1 capped; 2,3 default
+
+
+def test_budgets_broadcast_hint_is_size_gated(spark, tmp_path):
+    """The politeness-budgets frame is host-cardinality with respect_robots
+    on — force-broadcasting it at web scale would OOM, so the hint is
+    driver-count-gated (engine._budgets_bcast_ok); without the hint Spark
+    plans a shuffle join, with identical results."""
+    from feapder_spark.crawl.engine import CrawlConfig, CrawlEngine
+    from feapder_spark.crawl.synthweb import SyntheticWeb
+
+    due = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").cast("string").alias("fingerprint"),
+        F.lit(0).alias("priority"),
+        (F.col("o_custkey") % 50).cast("string").alias("host"),
+    )
+    budgets = spark.createDataFrame([("1", 2), ("2", 3)], "host STRING, budget INT")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = FR.eligible_under_politeness(due, budgets, 5, 5, broadcast_budgets=True)
+        unhinted = FR.eligible_under_politeness(due, budgets, 5, 5, broadcast_budgets=False)
+        assert "BroadcastHashJoin" in _plan(hinted)
+        assert "BroadcastHashJoin" not in _plan(unhinted), _plan(unhinted)
+        assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, unhinted.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # the driver-side gate: robots rows past the bound flip the flag
+    web = SyntheticWeb(n_hosts=2, pages_per_host=2, seed=42)
+    cfg = CrawlConfig(respect_robots=True, budgets_broadcast_max_rows=10)
+    engine = CrawlEngine(spark, str(tmp_path / "wh"), web, cfg)
+    assert engine._budgets_bcast_ok(None)
+    engine.robots_rows = 11
+    assert not engine._budgets_bcast_ok(None)
