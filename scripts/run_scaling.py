@@ -176,6 +176,28 @@ ROUND5_SECTION = """## 5. Round-5 notes (measured 2026-08-17, pinned)
   host EVER crawled each iteration.  Zero-rate hosts never refill and are
   kept.  Behavior-invisible (equivalence suites green; verified via a
   two-process spark-submit resume on a pruned state table).
+- **local[32] full-loop inversion attributed — a trace, not an argument**
+  (VERDICT r4 #4).  Three measurements close it.  (a) tmpfs warehouse
+  (§2b): the inversion PERSISTS with disk removed — disk is ruled out.
+  (b) Same-volume data-plane probe (the standalone fetch+parse+canon+dedup
+  chain at the full loop's exact 528k-pages/weight-6 volume, no loop, no
+  commits, interleaved best-of-3): local[32] is 1.61x FASTER than local[8]
+  (19.9 s vs 32.0 s, eff 0.403) — no inversion without the loop, so no
+  data-volume cliff either.  (c) Per-stage REST trace of the full loop
+  (scripts/trace_fullloop.py, taskSummary quantiles): NO straggler and no
+  serialization — every top stage runs all slots with max/median task skew
+  <= 1.3 at 32 — but the dominant stage (the fused fetch+parse feeding the
+  rollup collect, engine.py rollup agg) consumes 296 CPU-s at 8 workers vs
+  600 CPU-s at 32 for identical work: per-core throughput HALVES at full
+  occupancy (the ALU probe's 0.73 ceiling is optimistic for this
+  string/Arrow-heavy stage), capping 8->32 at ~2x in the best case.  On
+  top of that sits phase sensitivity: the identical protocol measured
+  local[32] at 50.9 s (FASTER than local[8]'s 65.6 s) in the trace run vs
+  114.7 s in the recorded §2 run, while local[8] stayed 57-66 s across the
+  day — a 32-worker run has no idle cores to absorb neighbor load, so it
+  swings 2-4x where local[8] swings ~15%.  Conclusion: the inversion is
+  the shared VM at full occupancy, not the engine; on a real 4N-executor
+  cluster each executor keeps its per-core memory bandwidth.
 - **Full-loop A/B, same protocol** (scripts/run_ab_fullloop.sh: two
   interleaved cycles of r4-code/r5-code x local[2]/local[8] on the
   identical 528k full-loop job, fresh process each): r5 best at local[8]
@@ -592,9 +614,14 @@ local[32] trace (the 8->32 inversion attribution, VERDICT r4 #4):
 ## 2b. tmpfs-warehouse variant (disk removed from the commits phase)
 
 Same full loop with the snapshot warehouse on /dev/shm — the one-box disk
-taken out of the commits phase.  If the local[32] <= local[8] inversion is
-disk contention (32 writers on one spindle/page cache), it disappears
-here; if it were engine serialization, it would persist.
+taken out of the commits phase.  The 8->32 numbers here and in §2 must be
+read with §5's "local[32] inversion attributed" bullet: the tmpfs variant
+rules disk OUT (the inversion persists without disk), and the per-stage
+REST trace + the same-volume data-plane probe then locate it in host
+behavior at full occupancy (2x aggregate-CPU inflation + high neighbor
+sensitivity), not engine serialization — the same protocol run in another
+hour shows local[32] FASTER (50.9 s vs 65.6 s) with every stage at task
+skew <= 1.3.
 
 | parallelism | wall (s) | URLs/sec |
 |---|---|---|
