@@ -921,7 +921,12 @@ def frontier_gated_band_cover(spark, sf_dir):
     engine._gated_lease_inputs' incremental band opening (round 5): a row's
     eligibility depends only on same-host rows in its own and lower bands,
     so per-band eligible counts accumulate lowest-band-first, and a band is
-    opened iff the cumulative eligible count BEFORE it is still < k."""
+    opened iff the cumulative eligible count BEFORE it is still < k.
+
+    The unpartitioned cumulative-sum windows (and Spark's WindowExec
+    single-partition warning they trigger) run over ``per_band`` — at most
+    one row per priority band, a small fixed count — never the raw rows;
+    the heavy per-host ranking above them is partitioned on host."""
     li = _t(spark, sf_dir, "lineitem")
     rows = li.select(
         F.col("l_orderkey").alias("fingerprint"),
