@@ -206,6 +206,10 @@ def main() -> None:
         )
     crawl_big = max(big_exact_runs, key=lambda r: r["urls_per_sec"])
     crawl_bloom_big = max(big_bloom_runs, key=lambda r: r["urls_per_sec"])
+    big_pair_ratios = [
+        round(b["urls_per_sec"] / e["urls_per_sec"], 3)
+        for e, b in zip(big_exact_runs, big_bloom_runs)
+    ]
 
     # canary-normalized headline numbers (see CANARY_REF note): the column a
     # cross-round comparison should read
@@ -235,12 +239,16 @@ def main() -> None:
         "crawl_bloom_bigbatch": crawl_bloom_big,
         "crawl_pair_reps": reps,
         "crawl_pair_ratios": pair_ratios,
-        "bloom_over_exact_best": round(
-            crawl_bloom["urls_per_sec"] / crawl["urls_per_sec"], 3
-        ),
-        "bloom_over_exact_bigbatch_best": round(
-            crawl_bloom_big["urls_per_sec"] / crawl_big["urls_per_sec"], 3
-        ),
+        "crawl_bigbatch_pair_ratios": big_pair_ratios,
+        # the bloom-vs-exact bar is judged on INTERLEAVED pairs (each pair
+        # shares a host phase); ratios of independent bests would compare
+        # runs from different phases on a host that swings 30-60%
+        "bloom_over_exact_best": max(pair_ratios),
+        "bloom_over_exact_median": sorted(pair_ratios)[len(pair_ratios) // 2],
+        "bloom_over_exact_bigbatch_best": max(big_pair_ratios),
+        "bloom_over_exact_bigbatch_median": sorted(big_pair_ratios)[
+            len(big_pair_ratios) // 2
+        ],
         "dedup_keys_per_sec": dedup_rate,
         "host_canary_md5_mbps": canary,
         "canary_ref": CANARY_REF,
