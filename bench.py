@@ -153,12 +153,21 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(8, cpus))
     spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()  # JVM warm-up
 
+    # per-query best-of-N (default 2): a 32-worker run has no idle cores to
+    # absorb neighbor load, so single query runs swing 2-4x on this shared
+    # VM (BENCH/BASELINE.md §5 — one full-suite pass read 100.9 s where the
+    # re-run minutes later read 34.6 s at the same single-thread canary);
+    # the min of two passes measures the engine, not the neighbor.
+    suite_reps = int(os.environ.get("SPARK_GRAFT_SUITE_REPS", "2"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = Q.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(max(1, suite_reps)):
+        for name in HEADLINE:
+            fn = Q.QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     if os.environ.get("SPARK_GRAFT_SUITE_ONLY"):
         # sf-scaling re-anchor mode (BASELINE §3): only the query suite
@@ -170,6 +179,7 @@ def main() -> None:
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
+            "suite_reps": suite_reps,
             "sf": sf,
             "cpus": cpus,
             "host_canary_md5_mbps": canary,
@@ -231,6 +241,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "suite_reps": suite_reps,
         "sf": sf,
         "cpus": cpus,
         "crawl": crawl,
