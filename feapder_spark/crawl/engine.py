@@ -144,6 +144,16 @@ class CrawlConfig:
     # rarely, while per-band FILE counts grow with every iteration — this
     # bounds them independently (Iceberg rewrite_data_files cadence)
     compact_min_segments: int = 512
+    # small-file fold cadence for the frontier delta logs (Iceberg
+    # rewrite_data_files bin-pack, store/snapshot.fold_segments): past this
+    # many appended segments the SMALLEST fold into one — no anti-join, no
+    # tombstone reconciliation, O(bytes-folded) cost, LSM-amortized — so
+    # per-iteration read cost stays O(fold_min_segments) file opens while
+    # compact_frontier's O(visible) rewrite stays reserved for the
+    # tombstone-ratio trigger (at a 10^10 frontier an in-loop full rewrite
+    # is the same unbounded pause compact_items was decoupled for).
+    # None disables (file counts then bounded by compact_min_segments).
+    fold_min_segments: int | None = 64
     # items-table compaction cadence, DECOUPLED from the frontier trigger:
     # frontier compaction is bounded by the delta log, but compact_items
     # rewrites the ENTIRE items table — at 10^10 items an in-loop rewrite is
@@ -1425,8 +1435,17 @@ class CrawlEngine:
         elif m_adds is not None and len(m_adds.segments or []) >= self.cfg.compact_min_segments:
             # segment-count trigger: on a huge frontier the tombstone
             # threshold fires rarely while per-band file counts grow every
-            # iteration — fold them independently
+            # iteration — fold them independently.  With the minor fold
+            # below at its default this backstop is rarely reached.
             self.compact_frontier()
+        elif self.cfg.fold_min_segments is not None:
+            # minor fold: bounds BOTH delta logs' file counts every
+            # iteration without the full O(visible) rewrite — the fold is a
+            # row-identical single-table commit, so no checkpoint is needed
+            # (a rollback across it is a no-op) and a crash between the two
+            # folds leaves each table individually consistent
+            self.t("frontier").fold_segments(self.cfg.fold_min_segments)
+            self.t("frontier_tombs").fold_segments(self.cfg.fold_min_segments)
         if self.cfg.items_compact_min_segments is not None:
             # opt-in ONLY: unlike the frontier fold (bounded by the delta
             # log) this rewrites the whole items table — out-of-band

@@ -363,6 +363,94 @@ class SnapshotTable:
         _atomic_write(self._pointer, str(version))
         return version
 
+    def fold_segments(self, max_segments: int) -> int | None:
+        """Small-file maintenance for partitioned-APPEND tables — the
+        Iceberg ``rewrite_data_files`` bin-pack strategy on plain parquet:
+        when the appended segment count exceeds ``max_segments``, rewrite
+        the SMALLEST segments into one, preserving the per-key hive leaf
+        layout, the schema, and the manifest meta verbatim (the row set is
+        untouched, so ``part_rows`` stay exact and reads/pruning behave
+        identically — only the file-open count drops).
+
+        Unlike a full compaction this never joins, filters, or reconciles
+        deletes: cost is O(bytes of the folded segments), and smallest-first
+        selection (fold down to ~max_segments/2, so folded outputs grow
+        geometrically before being re-folded — LSM size tiering) keeps the
+        amortized rewrite count per row at O(log segments) while bounding
+        every reader at O(max_segments) file opens instead of O(commits).
+
+        Legacy unpartitioned segments (no seg_parts entry) are left alone.
+        Returns the new version, or None when no fold ran.  Crash-safe by
+        construction: the fold commits ONE table version whose row set
+        equals its parent's, so a rollback across it is a no-op, and
+        dereferenced segment dirs are swept by expire_snapshots."""
+        m = self.manifest()
+        if m is None or m.partitions:
+            return None
+        sp = m.seg_parts or {}
+        foldable = [s for s in m.segments if s in sp]
+        if len(m.segments) <= max_segments or len(foldable) < 2:
+            return None
+        sizes: dict[str, int] = {}
+        for s in foldable:
+            total = 0
+            for rel in sp[s].values():
+                leaf = os.path.join(self.root, "data", rel)
+                try:
+                    names = os.listdir(leaf)
+                except FileNotFoundError:
+                    names = []
+                for f in names:
+                    p = os.path.join(leaf, f)
+                    if os.path.isfile(p):
+                        total += os.path.getsize(p)
+            sizes[s] = total
+        keep_target = max(1, max_segments // 2)
+        n_fold = min(len(foldable), len(m.segments) - keep_target + 1)
+        if n_fold < 2:
+            return None
+        folded = sorted(foldable, key=lambda s: (sizes[s], s))[:n_fold]
+        folded_set = set(folded)
+        by_key: dict[str, list[str]] = {}
+        for s in folded:
+            for k, rel in sp[s].items():
+                by_key.setdefault(k, []).append(os.path.join(self.root, "data", rel))
+        version = m.version + 1
+        seg = f"v{version}-{uuid.uuid4().hex[:8]}"
+        written: dict[str, str] = {}
+        if by_key:
+            from functools import reduce as _reduce
+
+            from pyspark.sql import functions as F
+
+            # key strings round-trip through the hive dir names the folded
+            # segments already used, so placement (and therefore key-subset
+            # pruning) is preserved exactly
+            frames = [
+                self.spark.read.schema(m.schema_ddl).parquet(*paths)
+                .withColumn("pb", F.lit(k))
+                for k, paths in sorted(by_key.items())
+            ]
+            out = _reduce(DataFrame.unionByName, frames)
+            total_bytes = sum(sizes[s] for s in folded)
+            out = out.coalesce(max(1, min(64, total_bytes // (128 << 20) + 1)))
+            seg_path = os.path.join(self.root, "data", seg)
+            out.write.mode("overwrite").partitionBy("pb").parquet(seg_path)
+            written = {
+                d.split("=", 1)[1]: f"{seg}/{d}"
+                for d in os.listdir(seg_path)
+                if d.startswith("pb=")
+            }
+        segments = [s for s in m.segments if s not in folded_set]
+        seg_parts = {s: v for s, v in sp.items() if s not in folded_set}
+        if written:
+            segments.append(seg)
+            seg_parts[seg] = written
+        man = Manifest(version, m.schema_ddl, segments, dict(m.meta or {}), None, seg_parts)
+        _atomic_write(os.path.join(self.root, "_versions", f"{version}.json"), man.to_json())
+        _atomic_write(self._pointer, str(version))
+        return version
+
     def commit_partitions(
         self,
         df: DataFrame,

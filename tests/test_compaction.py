@@ -52,11 +52,13 @@ def test_soak_default_cadence_stays_flat(tmp_path):
     """Long-run soak (VERDICT r4 #8) at the DEFAULT compaction knobs: the
     TTL incremental-crawl loop runs N iterations in its own process
     (scripts/run_soak.py); per-iteration wall must stay flat (last decile ≤
-    2× first) and segment growth bounded by the trigger.  Default N=60
-    keeps the suite fast; the full-length drift evidence (N=560, one
-    default-trigger compaction cycle) is the same script, pinned in
-    BENCH/BASELINE.md §4 — run SPARK_GRAFT_SOAK_ITERS=560 to reproduce."""
-    iters = int(os.environ.get("SPARK_GRAFT_SOAK_ITERS", "60"))
+    2× first) and segment growth bounded by the default MINOR FOLD
+    (fold_min_segments=64 — round 5's fix for the observed ~15 ms/segment/
+    iteration read-cost drift).  Default N=80 crosses the fold threshold
+    once so the in-loop fold is exercised; the full-length drift evidence
+    (N=560) is the same script, pinned in BENCH/BASELINE.md §4 — run
+    SPARK_GRAFT_SOAK_ITERS=560 to reproduce."""
+    iters = int(os.environ.get("SPARK_GRAFT_SOAK_ITERS", "80"))
     script = os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts", "run_soak.py")
     proc = subprocess.run(
         [sys.executable, script, str(iters), str(tmp_path / "soak_wh")],
@@ -66,9 +68,10 @@ def test_soak_default_cadence_stays_flat(tmp_path):
     report = json.loads(proc.stdout.strip().splitlines()[-1])
     assert report["iterations"] == iters, "TTL loop must sustain every iteration"
     assert report["decile_ratio"] <= 2.0, report
-    assert report["max_adds_segments"] <= 513, report
-    if iters > 513:
-        assert report["compactions_fired"] >= 1, report
+    # the fold keeps the delta log bounded far below the 512 backstop
+    assert report["max_adds_segments"] <= 80, report
+    if iters > 72:
+        assert report["folds_fired"] >= 1, report
         assert report["final_adds_segments"] < report["max_adds_segments"], report
 
 

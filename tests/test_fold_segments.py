@@ -1,0 +1,187 @@
+"""Minor fold (Iceberg rewrite_data_files bin-pack) for partitioned-append
+delta logs: `SnapshotTable.fold_segments` rewrites the smallest appended
+segments into one, preserving rows, schema, per-key placement, and manifest
+meta — so per-iteration reader file-opens stay O(fold_min_segments) instead
+of O(commits), without the full O(visible) `compact_frontier` rewrite.
+
+Reference analogue: the zset never fragments (one Redis structure,
+redisdb.py:472-523); on a parquet delta log the fragments are the price of
+append-only commits, and this is the LSM-amortized maintenance that pays it.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from feapder_spark.crawl.engine import CrawlConfig, CrawlEngine
+from feapder_spark.crawl.synthweb import SyntheticWeb
+from feapder_spark.store.snapshot import SnapshotStore
+
+
+def _append_n(spark, t, n, rows_per=3, keys=(0, 1, 2)):
+    for i in range(n):
+        df = spark.createDataFrame(
+            [(f"fp-{i}-{j}", i * rows_per + j) for j in range(rows_per)],
+            "fp string, v int",
+        ).withColumn("band", F.col("v") % len(keys))
+        t.commit_append_partitioned(df, "band", coalesce_to=1, count_rows=True)
+
+
+def test_fold_preserves_rows_meta_and_pruning(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path))
+    t = store.table("adds")
+    _append_n(spark, t, 12)
+    m0 = t.manifest()
+    before = sorted(tuple(r) for r in t.read().collect())
+    part_rows0 = dict(m0.meta["part_rows"])
+    assert len(m0.segments) == 12
+
+    v = t.fold_segments(8)
+    assert v == m0.version + 1
+    m1 = t.manifest()
+    # folded down to ~max/2 segments: 12 - n_fold + 1 with n_fold = 12-4+1
+    assert len(m1.segments) == 4
+    # rows identical, per-key counts carried verbatim (rows unchanged)
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    assert m1.meta["part_rows"] == part_rows0
+    assert m1.schema_ddl == m0.schema_ddl
+    # key-subset pruning still works and only opens that key's dirs
+    sub = t.read_partition_subset(["1"])
+    assert sorted(tuple(r) for r in sub.collect()) == [
+        r for r in before if r[1] % 3 == 1
+    ]
+    assert all("pb=1" in f for f in sub.inputFiles())
+    # pre-fold version still readable (time travel / checkpoint rollback)
+    assert sorted(tuple(r) for r in t.read(version=m0.version).collect()) == before
+
+    # below threshold now → no-op
+    assert t.fold_segments(8) is None
+    assert t.manifest().version == v
+
+
+def test_fold_is_lsm_amortized_and_leaves_legacy_segments(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path))
+    t = store.table("adds")
+    # one legacy unpartitioned segment (pre-banding store) — must survive
+    legacy = spark.createDataFrame([("legacy", 999)], "fp string, v int")
+    t.commit(legacy, mode="append")
+    _append_n(spark, t, 10)
+    before = sorted(tuple(r) for r in t.read().collect())
+
+    assert t.fold_segments(6) is not None
+    m = t.manifest()
+    legacy_segs = [s for s in m.segments if s not in (m.seg_parts or {})]
+    assert len(legacy_segs) == 1, "legacy unpartitioned segment must be left alone"
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+
+    # repeated append + fold keeps the count bounded at the fold target
+    for _ in range(3):
+        _append_n(spark, t, 6)
+        t.fold_segments(6)
+        assert len(t.manifest().segments) <= 7  # 6//2 partitioned + 1 legacy + slack
+    assert sorted(tuple(r) for r in t.read().collect()) == sorted(
+        before + [
+            (f"fp-{i}-{j}", i * 3 + j)
+            for i in range(6)
+            for j in range(3)
+        ] * 3
+    )
+
+
+def test_fold_noops_on_partition_mode_and_small_tables(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path))
+    # partition-overwrite-mode table (seen blobs): never folded
+    p = store.table("seen")
+    df = spark.createDataFrame([("a", 0), ("b", 1)], "fp string, b int")
+    p.commit_partitions(df, "b")
+    assert p.fold_segments(1) is None
+    # under-threshold append table: no-op
+    t = store.table("adds")
+    _append_n(spark, t, 3)
+    assert t.fold_segments(8) is None
+    # uncommitted table: no-op
+    assert store.table("empty").fold_segments(4) is None
+
+
+def test_engine_fold_bounds_segments_and_preserves_crawl(spark, tmp_path):
+    """The in-loop minor fold (cfg.fold_min_segments) bounds BOTH delta
+    logs' segment counts across many iterations while leaving the crawl
+    byte-identical to an unfolded run — and the banded lease pruning
+    (manifest part_rows) keeps working across folds."""
+    web = SyntheticWeb(n_hosts=2, pages_per_host=6, seed=42)
+    ref = CrawlEngine(
+        spark, str(tmp_path / "ref"), web,
+        CrawlConfig(batch_size=3, fold_min_segments=None),
+    )
+    ref.seed(web.seeds(4))
+    ref.run(max_iterations=8)
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "fold"), web,
+        CrawlConfig(batch_size=3, fold_min_segments=4),
+    )
+    eng.seed(web.seeds(4))
+    eng.run(max_iterations=8)
+
+    assert len(ref.t("frontier").manifest().segments or []) > 4
+    assert len(eng.t("frontier").manifest().segments or []) <= 5
+    assert len(eng.t("frontier_tombs").manifest().segments or []) <= 5
+
+    for name in ("crawl_order", "docs", "seen"):
+        cols = [
+            c for c, t in ref.t(name).read().dtypes if t != "timestamp"
+        ]  # seen carries a wall-clock added_at — not comparable across runs
+        r = sorted(tuple(x) for x in ref.t(name).read().select(cols).collect())
+        c = sorted(tuple(x) for x in eng.t(name).read().select(cols).collect())
+        assert c == r, f"{name} must be identical under folding"
+    assert eng.frontier().count() == ref.frontier().count()
+    assert eng._lease_band_keys(3) is not None, "band pruning survives folds"
+
+
+def test_fold_plays_with_checkpoint_resume_and_gc(spark, tmp_path):
+    """A fold commits a row-identical version ABOVE the last checkpoint:
+    resume (rollback to the checkpointed pre-fold versions) must still see
+    every row (GC retains the checkpointed manifests' segments), and a
+    later expire sweeps the dereferenced fold output."""
+    web = SyntheticWeb(n_hosts=2, pages_per_host=6, seed=42)
+    wh = str(tmp_path / "wh")
+    eng = CrawlEngine(
+        spark, wh, web, CrawlConfig(batch_size=3, fold_min_segments=3),
+    )
+    eng.seed(web.seeds(4))
+    eng.run(max_iterations=6)
+    frontier_before = sorted(
+        tuple(r) for r in eng.frontier().select("fingerprint").collect()
+    )
+    eng.expire_snapshots(keep_checkpoints=2)
+
+    # second process resumes: rollback crosses the fold-bumped versions
+    e2 = CrawlEngine(
+        spark, wh, web, CrawlConfig(batch_size=3, fold_min_segments=3),
+    )
+    assert e2.resume()
+    assert sorted(
+        tuple(r) for r in e2.frontier().select("fingerprint").collect()
+    ) == frontier_before
+    # drain continues cleanly across folded delta logs
+    e2.run(max_iterations=50)
+    assert e2.frontier().count() == 0
+    # folded-away segment dirs eventually swept once checkpoints advance
+    stats = e2.expire_snapshots(keep_checkpoints=2)
+    assert stats["errors"] == []
+    data_dir = os.path.join(wh, "frontier", "data")
+    live = {
+        s.split("/")[0]
+        for s in (e2.t("frontier").manifest().segments or [])
+    }
+    # every on-disk dir is referenced by a retained manifest (no leaks of
+    # fold outputs), though retained non-current manifests may keep extras
+    retained = set()
+    vdir = os.path.join(wh, "frontier", "_versions")
+    for f in os.listdir(vdir):
+        m = e2.t("frontier").manifest(int(f.split(".")[0]))
+        retained.update(s.split("/")[0] for s in (m.segments or []))
+        retained.update(
+            p.split("/")[0] for p in (m.partitions or {}).values()
+        )
+    assert set(os.listdir(data_dir)) <= retained | live
