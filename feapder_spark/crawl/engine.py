@@ -154,6 +154,16 @@ class CrawlConfig:
     # is the same unbounded pause compact_items was decoupled for).
     # None disables (file counts then bounded by compact_min_segments).
     fold_min_segments: int | None = 64
+    # items-table minor fold: the items table appends one segment per
+    # flushing iteration FOREVER (no compaction resets it by default —
+    # see items_compact_min_segments), so its bucket-pruned dedup reads
+    # open linearly-growing file counts.  Same bin-pack as the frontier
+    # fold, but SIZE-CAPPED (items_fold_max_bytes, Iceberg's
+    # target-file-size): segments at/above the cap are never re-folded,
+    # so one in-loop fold costs ≤ cap × n_fold even at 10^10 items —
+    # bounded pause, unlike the O(table) compact_items.  None disables.
+    items_fold_min_segments: int | None = 64
+    items_fold_max_bytes: int = 256 << 20
     # items-table compaction cadence, DECOUPLED from the frontier trigger:
     # frontier compaction is bounded by the delta log, but compact_items
     # rewrites the ENTIRE items table — at 10^10 items an in-loop rewrite is
@@ -1446,6 +1456,14 @@ class CrawlEngine:
             # folds leaves each table individually consistent
             self.t("frontier").fold_segments(self.cfg.fold_min_segments)
             self.t("frontier_tombs").fold_segments(self.cfg.fold_min_segments)
+        if self.cfg.items_fold_min_segments is not None:
+            # size-capped bin-pack: bounds the items table's file count
+            # without the O(table) rewrite (full-sized fold outputs are
+            # exempt, so the pause is bounded by the byte cap at any scale)
+            self.t("items").fold_segments(
+                self.cfg.items_fold_min_segments,
+                max_fold_bytes=self.cfg.items_fold_max_bytes,
+            )
         if self.cfg.items_compact_min_segments is not None:
             # opt-in ONLY: unlike the frontier fold (bounded by the delta
             # log) this rewrites the whole items table — out-of-band

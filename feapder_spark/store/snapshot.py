@@ -363,7 +363,9 @@ class SnapshotTable:
         _atomic_write(self._pointer, str(version))
         return version
 
-    def fold_segments(self, max_segments: int) -> int | None:
+    def fold_segments(
+        self, max_segments: int, max_fold_bytes: int | None = None
+    ) -> int | None:
         """Small-file maintenance for partitioned-APPEND tables — the
         Iceberg ``rewrite_data_files`` bin-pack strategy on plain parquet:
         when the appended segment count exceeds ``max_segments``, rewrite
@@ -378,6 +380,17 @@ class SnapshotTable:
         geometrically before being re-folded — LSM size tiering) keeps the
         amortized rewrite count per row at O(log segments) while bounding
         every reader at O(max_segments) file opens instead of O(commits).
+
+        ``max_fold_bytes`` (Iceberg's target-file-size analogue) exempts
+        segments at or above that size from re-folding: an ever-growing
+        APPEND table (items) otherwise eventually nominates its own huge
+        fold outputs as "smallest", turning one fold into the unbounded
+        O(table) pause this method exists to avoid.  With the cap, a
+        single fold costs ≤ max_fold_bytes × n_fold and the segment count
+        is bounded by max_segments plus O(table_bytes / max_fold_bytes)
+        full-sized outputs — the steady state Iceberg bin-packing reaches.
+        Leave it None for delta logs that a full compaction periodically
+        resets (frontier adds/tombs).
 
         Legacy unpartitioned segments (no seg_parts entry) are left alone.
         Returns the new version, or None when no fold ran.  Crash-safe by
@@ -405,6 +418,10 @@ class SnapshotTable:
                     if os.path.isfile(p):
                         total += os.path.getsize(p)
             sizes[s] = total
+        if max_fold_bytes is not None:
+            foldable = [s for s in foldable if sizes[s] < max_fold_bytes]
+            if len(foldable) < 2:
+                return None
         keep_target = max(1, max_segments // 2)
         n_fold = min(len(foldable), len(m.segments) - keep_target + 1)
         if n_fold < 2:

@@ -88,6 +88,33 @@ def test_fold_is_lsm_amortized_and_leaves_legacy_segments(spark, tmp_path):
     )
 
 
+def test_fold_size_cap_exempts_full_segments(spark, tmp_path):
+    """max_fold_bytes (Iceberg target-file-size): segments at/above the cap
+    are never re-folded, so an ever-growing append table (items) gets
+    bounded-cost folds instead of eventually re-packing its own huge fold
+    outputs — the one fold pause stays ≤ cap × n_fold at any table size."""
+    store = SnapshotStore(spark, str(tmp_path))
+    t = store.table("items")
+    big = spark.createDataFrame(
+        [(f"big-{i}", i) for i in range(20_000)], "fp string, v int"
+    ).withColumn("band", F.col("v") % 3)
+    t.commit_append_partitioned(big, "band", coalesce_to=1)
+    big_seg = t.manifest().segments[0]
+    _append_n(spark, t, 8)
+    before = sorted(tuple(r) for r in t.read().collect())
+
+    assert t.fold_segments(4, max_fold_bytes=16_384) is not None
+    m = t.manifest()
+    assert big_seg in m.segments, "a full-sized segment must never re-fold"
+    # 9 segments, 8 under-cap foldable, keep_target=2 → n_fold=min(8,8)=8
+    assert len(m.segments) == 2
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+
+    # all remaining under-cap mass in one output + the capped segment:
+    # nothing left to fold even far over the segment bound
+    assert t.fold_segments(1, max_fold_bytes=16_384) is None
+
+
 def test_fold_noops_on_partition_mode_and_small_tables(spark, tmp_path):
     store = SnapshotStore(spark, str(tmp_path))
     # partition-overwrite-mode table (seen blobs): never folded
@@ -136,6 +163,41 @@ def test_engine_fold_bounds_segments_and_preserves_crawl(spark, tmp_path):
         assert c == r, f"{name} must be identical under folding"
     assert eng.frontier().count() == ref.frontier().count()
     assert eng._lease_band_keys(3) is not None, "band pruning survives folds"
+
+
+def test_engine_items_fold_bounds_segments_preserves_rows_and_pruning(spark, tmp_path):
+    """The size-capped items fold (cfg.items_fold_min_segments) bounds the
+    items table's segment count in-loop without the opt-in O(table)
+    compact_items, leaving rows, dedup pruning safety, and bucket-pruned
+    reads intact."""
+    web = SyntheticWeb(n_hosts=2, pages_per_host=6, seed=42)
+    ref = CrawlEngine(
+        spark, str(tmp_path / "ref"), web,
+        CrawlConfig(batch_size=3, items_fold_min_segments=None,
+                    items_prune_min_leaf_parts=0),
+    )
+    ref.seed(web.seeds(4))
+    ref.run(max_iterations=8)
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "fold"), web,
+        CrawlConfig(batch_size=3, items_fold_min_segments=3,
+                    items_prune_min_leaf_parts=0),
+    )
+    eng.seed(web.seeds(4))
+    eng.run(max_iterations=8)
+
+    assert len(ref.t("items").manifest().segments or []) > 3
+    assert len(eng.t("items").manifest().segments or []) <= 4
+
+    r = sorted(tuple(x) for x in ref.t("items").read().collect())
+    c = sorted(tuple(x) for x in eng.t("items").read().collect())
+    assert c == r, "items rows must be identical under folding"
+    # modulus meta carried verbatim → pruned dedup reads stay safe
+    assert eng._items_pruning_safe()
+    m = eng.t("items").manifest()
+    assert (m.meta or {}).get("bucket_modulus") == eng.cfg.items_buckets
+    assert m.seg_parts, "fold output must keep per-bucket placement"
 
 
 def test_fold_plays_with_checkpoint_resume_and_gc(spark, tmp_path):
