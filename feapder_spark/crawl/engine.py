@@ -144,14 +144,18 @@ class CrawlConfig:
     # rarely, while per-band FILE counts grow with every iteration — this
     # bounds them independently (Iceberg rewrite_data_files cadence)
     compact_min_segments: int = 512
-    # small-file fold cadence for the frontier delta logs (Iceberg
-    # rewrite_data_files bin-pack, store/snapshot.fold_segments): past this
-    # many appended segments the SMALLEST fold into one — no anti-join, no
-    # tombstone reconciliation, O(bytes-folded) cost, LSM-amortized — so
+    # small-file fold cadence for every append log the loop RE-READS each
+    # iteration — the frontier delta logs (adds/tombs) plus the exact-mode
+    # seen log and the response cache (Iceberg rewrite_data_files
+    # bin-pack, store/snapshot.fold_segments): past this many appended
+    # segments the SMALLEST fold into one — no anti-join, no tombstone
+    # reconciliation, O(bytes-folded) cost, LSM-amortized — so
     # per-iteration read cost stays O(fold_min_segments) file opens while
     # compact_frontier's O(visible) rewrite stays reserved for the
     # tombstone-ratio trigger (at a 10^10 frontier an in-loop full rewrite
     # is the same unbounded pause compact_items was decoupled for).
+    # seen/fetch_cache grow with no compaction reset, so their folds are
+    # size-capped by items_fold_max_bytes like the items table.
     # None disables (file counts then bounded by compact_min_segments).
     fold_min_segments: int | None = 64
     # items-table minor fold: the items table appends one segment per
@@ -1456,6 +1460,24 @@ class CrawlEngine:
             # folds leaves each table individually consistent
             self.t("frontier").fold_segments(self.cfg.fold_min_segments)
             self.t("frontier_tombs").fold_segments(self.cfg.fold_min_segments)
+        if self.cfg.fold_min_segments is not None:
+            # the OTHER per-iteration-read append logs: exact-mode seen
+            # (anti-join right side + TTL expiry, one segment per
+            # iteration forever — the 560-iteration soak measured this as
+            # the residual linear drift once the frontier logs were
+            # bounded) and the response cache.  Size-capped like items:
+            # both grow without a compaction reset, so full-sized fold
+            # outputs must be exempt for the pause to stay bounded.
+            # docs/crawl_order/failed also grow but are not read in-loop —
+            # their folding stays out-of-band maintenance.
+            self.t("seen").fold_segments(
+                self.cfg.fold_min_segments,
+                max_fold_bytes=self.cfg.items_fold_max_bytes,
+            )
+            self.t("fetch_cache").fold_segments(
+                self.cfg.fold_min_segments,
+                max_fold_bytes=self.cfg.items_fold_max_bytes,
+            )
         if self.cfg.items_fold_min_segments is not None:
             # size-capped bin-pack: bounds the items table's file count
             # without the O(table) rewrite (full-sized fold outputs are

@@ -60,6 +60,13 @@ class Manifest:
     # segment — the parquet stand-in for Iceberg manifest-level partition
     # pruning on an append-only table.
     seg_parts: dict | None = None
+    # segment name → total data bytes, recorded at commit time — Iceberg's
+    # manifest ``file_size_in_bytes``.  Lets maintenance (fold_segments)
+    # pick bin-pack candidates from driver-side dict math instead of
+    # re-LISTing every segment's leaf dirs per iteration (at a 10^4-segment
+    # capped items table that metadata storm IS the cost).  Optional:
+    # segments absent from the map fall back to a filesystem walk.
+    seg_bytes: dict | None = None
 
     def to_json(self) -> str:
         d = {
@@ -72,6 +79,8 @@ class Manifest:
             d["partitions"] = self.partitions
         if self.seg_parts is not None:
             d["seg_parts"] = self.seg_parts
+        if self.seg_bytes is not None:
+            d["seg_bytes"] = self.seg_bytes
         return json.dumps(d, indent=1)
 
     @staticmethod
@@ -79,8 +88,20 @@ class Manifest:
         d = json.loads(text)
         return Manifest(
             d["version"], d["schema_ddl"], d["segments"], d.get("meta", {}),
-            d.get("partitions"), d.get("seg_parts"),
+            d.get("partitions"), d.get("seg_parts"), d.get("seg_bytes"),
         )
+
+
+def _dir_bytes(path: str) -> int:
+    """Total file bytes under ``path`` (recursive); 0 if absent."""
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
 
 
 def _atomic_write(path: str, text: str) -> None:
@@ -105,6 +126,9 @@ class SnapshotTable:
         self.root = os.path.join(root, name)
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "_versions"), exist_ok=True)
+        # fold_segments fallback sizes for segments committed before the
+        # manifest seg_bytes stat existed (immutable dirs → cacheable)
+        self._size_cache: dict[str, int] = {}
 
     # -- metadata ----------------------------------------------------------
     @property
@@ -255,6 +279,7 @@ class SnapshotTable:
             version, schema_ddl, segments, meta or {},
             prev.partitions if (df is None and prev) else None,
             prev.seg_parts if keep_prev else None,
+            prev.seg_bytes if keep_prev else None,
         )
         _atomic_write(os.path.join(self.root, "_versions", f"{version}.json"), man.to_json())
         _atomic_write(self._pointer, str(version))
@@ -331,10 +356,15 @@ class SnapshotTable:
         if mode == "append":
             segments = (prev.segments if prev else []) + [seg]
             seg_parts = dict(prev.seg_parts) if prev and prev.seg_parts else {}
+            seg_bytes = dict(prev.seg_bytes) if prev and prev.seg_bytes else {}
         else:
             segments = [seg]
             seg_parts = {}
+            seg_bytes = {}
         seg_parts[seg] = written
+        # manifest size stat (Iceberg file_size_in_bytes): lets maintenance
+        # bin-pack from driver dict math, no per-iteration re-LIST
+        seg_bytes[seg] = _dir_bytes(seg_path)
         meta = dict(meta or {})
         if count_rows:
             import pyarrow.parquet as _pq
@@ -358,7 +388,7 @@ class SnapshotTable:
                 part_rows[k] = part_rows.get(k, 0) + n
             meta["part_rows"] = part_rows
             meta["part_rows_complete"] = complete
-        man = Manifest(version, schema_ddl, segments, meta, None, seg_parts)
+        man = Manifest(version, schema_ddl, segments, meta, None, seg_parts, seg_bytes)
         _atomic_write(os.path.join(self.root, "_versions", f"{version}.json"), man.to_json())
         _atomic_write(self._pointer, str(version))
         return version
@@ -392,32 +422,43 @@ class SnapshotTable:
         Leave it None for delta logs that a full compaction periodically
         resets (frontier adds/tombs).
 
-        Legacy unpartitioned segments (no seg_parts entry) are left alone.
-        Returns the new version, or None when no fold ran.  Crash-safe by
-        construction: the fold commits ONE table version whose row set
-        equals its parent's, so a rollback across it is a no-op, and
-        dereferenced segment dirs are swept by expire_snapshots."""
+        Candidate sizes come from the manifest's ``seg_bytes`` stat
+        (recorded at commit time — Iceberg's ``file_size_in_bytes``), so
+        selection is driver dict math even at 10^4 segments; only
+        pre-stat segments pay a (cached) filesystem walk.
+
+        Works on both append layouts: a table with partitioned-append
+        segments folds those, preserving the hive leaf layout (any plain
+        legacy segments are left alone); a pure plain-append table (the
+        ``commit(mode='append')`` log a seen table is) folds its plain
+        segments into one plain segment.  Returns the new version, or
+        None when no fold ran.  Crash-safe by construction: the fold
+        commits ONE table version whose row set equals its parent's, so a
+        rollback across it is a no-op, and dereferenced segment dirs are
+        swept by expire_snapshots."""
         m = self.manifest()
         if m is None or m.partitions:
             return None
         sp = m.seg_parts or {}
-        foldable = [s for s in m.segments if s in sp]
+        partitioned = [s for s in m.segments if s in sp]
+        foldable = partitioned if partitioned else list(m.segments)
         if len(m.segments) <= max_segments or len(foldable) < 2:
             return None
+        # sizes come from the manifest stat (recorded at commit time) —
+        # driver dict math; only segments committed before the stat existed
+        # pay a filesystem walk, cached per process (segment dirs are
+        # immutable once committed)
+        sb = m.seg_bytes or {}
         sizes: dict[str, int] = {}
         for s in foldable:
-            total = 0
-            for rel in sp[s].values():
-                leaf = os.path.join(self.root, "data", rel)
-                try:
-                    names = os.listdir(leaf)
-                except FileNotFoundError:
-                    names = []
-                for f in names:
-                    p = os.path.join(leaf, f)
-                    if os.path.isfile(p):
-                        total += os.path.getsize(p)
-            sizes[s] = total
+            if s in sb:
+                sizes[s] = sb[s]
+            elif s in self._size_cache:
+                sizes[s] = self._size_cache[s]
+            else:
+                sizes[s] = self._size_cache[s] = _dir_bytes(
+                    os.path.join(self.root, "data", s)
+                )
         if max_fold_bytes is not None:
             foldable = [s for s in foldable if sizes[s] < max_fold_bytes]
             if len(foldable) < 2:
@@ -428,42 +469,58 @@ class SnapshotTable:
             return None
         folded = sorted(foldable, key=lambda s: (sizes[s], s))[:n_fold]
         folded_set = set(folded)
-        by_key: dict[str, list[str]] = {}
-        for s in folded:
-            for k, rel in sp[s].items():
-                by_key.setdefault(k, []).append(os.path.join(self.root, "data", rel))
         version = m.version + 1
         seg = f"v{version}-{uuid.uuid4().hex[:8]}"
+        seg_path = os.path.join(self.root, "data", seg)
+        total_bytes = sum(sizes[s] for s in folded)
+        n_files = max(1, min(64, total_bytes // (128 << 20) + 1))
         written: dict[str, str] = {}
-        if by_key:
-            from functools import reduce as _reduce
+        wrote = False
+        if partitioned:
+            by_key: dict[str, list[str]] = {}
+            for s in folded:
+                for k, rel in sp[s].items():
+                    by_key.setdefault(k, []).append(
+                        os.path.join(self.root, "data", rel)
+                    )
+            if by_key:
+                from functools import reduce as _reduce
 
-            from pyspark.sql import functions as F
+                from pyspark.sql import functions as F
 
-            # key strings round-trip through the hive dir names the folded
-            # segments already used, so placement (and therefore key-subset
-            # pruning) is preserved exactly
-            frames = [
-                self.spark.read.schema(m.schema_ddl).parquet(*paths)
-                .withColumn("pb", F.lit(k))
-                for k, paths in sorted(by_key.items())
-            ]
-            out = _reduce(DataFrame.unionByName, frames)
-            total_bytes = sum(sizes[s] for s in folded)
-            out = out.coalesce(max(1, min(64, total_bytes // (128 << 20) + 1)))
-            seg_path = os.path.join(self.root, "data", seg)
-            out.write.mode("overwrite").partitionBy("pb").parquet(seg_path)
-            written = {
-                d.split("=", 1)[1]: f"{seg}/{d}"
-                for d in os.listdir(seg_path)
-                if d.startswith("pb=")
-            }
+                # key strings round-trip through the hive dir names the
+                # folded segments already used, so placement (and therefore
+                # key-subset pruning) is preserved exactly
+                frames = [
+                    self.spark.read.schema(m.schema_ddl).parquet(*paths)
+                    .withColumn("pb", F.lit(k))
+                    for k, paths in sorted(by_key.items())
+                ]
+                out = _reduce(DataFrame.unionByName, frames).coalesce(n_files)
+                out.write.mode("overwrite").partitionBy("pb").parquet(seg_path)
+                written = {
+                    d.split("=", 1)[1]: f"{seg}/{d}"
+                    for d in os.listdir(seg_path)
+                    if d.startswith("pb=")
+                }
+                wrote = True
+        else:
+            paths = [os.path.join(self.root, "data", s) for s in folded]
+            out = self.spark.read.schema(m.schema_ddl).parquet(*paths)
+            out.coalesce(n_files).write.mode("overwrite").parquet(seg_path)
+            wrote = True
         segments = [s for s in m.segments if s not in folded_set]
         seg_parts = {s: v for s, v in sp.items() if s not in folded_set}
-        if written:
+        seg_bytes = {s: v for s, v in sb.items() if s not in folded_set}
+        if wrote:
             segments.append(seg)
-            seg_parts[seg] = written
-        man = Manifest(version, m.schema_ddl, segments, dict(m.meta or {}), None, seg_parts)
+            seg_bytes[seg] = _dir_bytes(seg_path)
+            if written:
+                seg_parts[seg] = written
+        man = Manifest(
+            version, m.schema_ddl, segments, dict(m.meta or {}), None,
+            seg_parts, seg_bytes,
+        )
         _atomic_write(os.path.join(self.root, "_versions", f"{version}.json"), man.to_json())
         _atomic_write(self._pointer, str(version))
         return version

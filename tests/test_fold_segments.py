@@ -115,6 +115,75 @@ def test_fold_size_cap_exempts_full_segments(spark, tmp_path):
     assert t.fold_segments(1, max_fold_bytes=16_384) is None
 
 
+def test_fold_plain_append_table(spark, tmp_path):
+    """A pure plain-append table (the seen log: commit(mode='append') per
+    iteration, no hive partitioning) folds its smallest segments into one
+    plain segment — rows and schema preserved, no seg_parts invented.
+    This is what bounds the seen anti-join's file opens on a long crawl
+    (the 560-iteration soak measured seen's 1-segment-per-iteration
+    growth as the residual drift once the frontier logs were bounded)."""
+    store = SnapshotStore(spark, str(tmp_path))
+    t = store.table("seen")
+    for i in range(10):
+        df = spark.createDataFrame(
+            [(f"fp-{i}-{j}", i) for j in range(3)], "fp string, it int"
+        )
+        t.commit(df, mode="append")
+    m0 = t.manifest()
+    assert len(m0.segments) == 10 and not m0.seg_parts
+    before = sorted(tuple(r) for r in t.read().collect())
+
+    v = t.fold_segments(6)
+    assert v == m0.version + 1
+    m1 = t.manifest()
+    # keep_target=3 → n_fold=min(10, 10-3+1)=8 → 2 survivors + 1 output
+    assert len(m1.segments) == 3
+    assert not m1.seg_parts
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    assert sorted(tuple(r) for r in t.read(version=m0.version).collect()) == before
+    # size cap applies to plain folds too
+    assert t.fold_segments(1, max_fold_bytes=1) is None
+
+
+def test_seg_bytes_stat_recorded_carried_and_used(spark, tmp_path):
+    """commit_append_partitioned records per-segment byte totals in the
+    manifest (Iceberg file_size_in_bytes); folds select candidates from
+    that stat (no per-iteration re-LIST of every segment) and rewrite the
+    map; metadata-only commits carry it; pre-stat manifests fall back to a
+    cached filesystem walk and still fold correctly."""
+    import json as _json
+    import os as _os
+
+    store = SnapshotStore(spark, str(tmp_path))
+    t = store.table("adds")
+    _append_n(spark, t, 6)
+    m = t.manifest()
+    assert set(m.seg_bytes) == set(m.segments)
+    assert all(v > 0 for v in m.seg_bytes.values())
+    # metadata-only commit carries the stat forward
+    t.commit(None, meta={"mark": 1})
+    assert t.manifest().seg_bytes == m.seg_bytes
+
+    # simulate a pre-stat store: strip seg_bytes from the current manifest
+    cur = t.current_version()
+    mpath = _os.path.join(t.root, "_versions", f"{cur}.json")
+    with open(mpath) as f:
+        d = _json.load(f)
+    del d["seg_bytes"]
+    with open(mpath, "w") as f:
+        _json.dump(d, f)
+    t._size_cache.clear()
+    before = sorted(tuple(r) for r in t.read().collect())
+    assert t.manifest().seg_bytes is None
+    assert t.fold_segments(4) is not None  # fallback walk path
+    m2 = t.manifest()
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    # post-fold manifest regains the stat for the fold output; survivors
+    # that had no stat stay absent (they'll walk once, cached)
+    assert m2.seg_bytes and all(v > 0 for v in m2.seg_bytes.values())
+    assert set(m2.seg_bytes) <= set(m2.segments)
+
+
 def test_fold_noops_on_partition_mode_and_small_tables(spark, tmp_path):
     store = SnapshotStore(spark, str(tmp_path))
     # partition-overwrite-mode table (seen blobs): never folded
@@ -153,6 +222,9 @@ def test_engine_fold_bounds_segments_and_preserves_crawl(spark, tmp_path):
     assert len(ref.t("frontier").manifest().segments or []) > 4
     assert len(eng.t("frontier").manifest().segments or []) <= 5
     assert len(eng.t("frontier_tombs").manifest().segments or []) <= 5
+    # the exact-mode seen log (plain appends, read every iteration) folds too
+    assert len(ref.t("seen").manifest().segments or []) > 4
+    assert len(eng.t("seen").manifest().segments or []) <= 5
 
     for name in ("crawl_order", "docs", "seen"):
         cols = [
