@@ -1,17 +1,24 @@
 """Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
 
-Scale-first shapes:
+Scale-first shapes (r6 optimization pass — guide §2.4 "remove shuffles
+outright" and §4.1 "built-ins / higher-order functions"):
 
-- **MinHash** (shingle → minhash → band → bucket-join): signatures are one
-  explode + groupBy (shuffle keyed on (doc_id, seed) — tiny rows); band
-  buckets hash-join docs sharing a band, so candidate generation never
-  compares all pairs.  Hashes are md5-hex *strings* ordered lexically —
+- **MinHash**: signatures are computed PER DOCUMENT with array higher-order
+  functions (``transform`` + ``array_min``) — zero explode, zero shuffle;
+  the old shape exploded shingles × seeds (19.2M rows at sf1) through a
+  hash aggregate.  Hashes are md5-hex *strings* ordered lexically —
   portable bit-for-bit to the DuckDB oracle (min over hex strings).
-- **SimHash**: 16-bit portable variant; per-bit weight = parity of the
-  corresponding md5 hex char (identical in any engine with ascii+md5).
-- **n-gram Jaccard**: exact verification for candidate pairs — token-set
-  join + intersection/union counts; meant to run on the (small) candidate
-  set, not the corpus cross-product.
+- **LSH bands**: band hashes are likewise per-doc array slices
+  (min/max of exactly ``rows_per_band`` signature entries); only the tiny
+  (doc_id, band, band_hash) rows ever reach the candidate self-join.
+- **SimHash**: 16-bit portable variant via one md5 per token
+  (``transform``) + 16 array ``aggregate`` passes — again no explode, no
+  groupBy shuffle; per-bit weight = parity of the corresponding md5 hex
+  char (identical in any engine with ascii+md5).
+- **n-gram Jaccard**: exact verification for candidate pairs — the corpus
+  is first PRUNED to documents that appear in a candidate pair (broadcast
+  semi-join, guide §3.2/§8), so the shingle-intersection join shuffles
+  candidate docs' shingles only, never the corpus.
 
 All pure pyspark.sql.functions — no Python UDFs anywhere.
 """
@@ -24,49 +31,137 @@ from pyspark.sql import functions as F
 TOKENIZE = r"\s+"
 
 
-def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) word n-grams; docs with < n tokens drop out."""
+def _shingle_array(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingles array<string>) word n-grams; docs with < n tokens
+    drop out.  The array form feeds the per-doc signature/band computation;
+    :func:`word_shingles` explodes it for set-style consumers.
+
+    Expression-shape note (the r6 lesson): every lambda below touches only
+    ATTRIBUTES of the previous projection, never a rebuilt ``split(...)``
+    expression — when Catalyst inlines a projection into a lambda body,
+    interpreted higher-order functions re-evaluate it PER ELEMENT, turning
+    tokenization O(tokens) into O(tokens²) per doc."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), TOKENIZE)
     d = df.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
     idx = F.sequence(F.lit(0), F.size("toks") - n)
     shingles = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j + 1) for j in range(n)])
     )
-    return d.select("doc_id", F.explode(shingles).alias("shingle"))
+    return d.select("doc_id", shingles.alias("shingles"))
 
 
-def minhash_signatures(df: DataFrame, n_hashes: int = 8, text_col: str = "text", n: int = 3) -> DataFrame:
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) word n-grams; docs with < n tokens drop out.
+
+    Explodes the OFFSET sequence, not a prebuilt shingle array: a
+    ``Generate`` over an array column gets an inferred ``size(arr) > 0``
+    filter pushed below the projection with the whole array expression
+    inlined — per-element re-tokenization (see _shingle_array note).  The
+    offset explode's inferred filter only re-evaluates ``split`` once per
+    row; the shingle itself is assembled per OUTPUT row from the ``toks``
+    attribute."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKENIZE)
+    d = df.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    d = d.select(
+        "doc_id", "toks",
+        F.explode_outer(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
+    )
+    shingle = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(n)]
+    )
+    return d.select("doc_id", shingle.alias("shingle"))
+
+
+def _seeded_min(shingles_col, seed: int):
+    """min over shingles of md5(seed || ':' || shingle) — one codegen'd
+    array pass, byte-identical to the old explode+groupBy-min (md5-hex
+    strings compare lexically the same everywhere)."""
+    prefix = F.lit(f"{seed}:")
+    return F.array_min(F.transform(shingles_col, lambda x: F.md5(F.concat(prefix, x))))
+
+
+def signature_array(
+    df: DataFrame, n_hashes: int = 8, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, sigs array<string>[n_hashes]): sigs[s] = min over shingles
+    of md5(s || ':' || shingle).  Pure per-row map — no explode, no shuffle
+    (guide §2.4): the plan is Scan → Project inside one WholeStageCodegen.
+    """
+    sh = _shingle_array(df, text_col, n)
+    sigs = F.array(*[_seeded_min(F.col("shingles"), s) for s in range(n_hashes)])
+    return sh.select("doc_id", sigs.alias("sigs"))
+
+
+def minhash_signatures(
+    df: DataFrame, n_hashes: int = 8, text_col: str = "text", n: int = 3
+) -> DataFrame:
     """(doc_id, seed, minhash): minhash = min(md5(seed || ':' || shingle)).
 
-    md5-hex strings compare lexically the same everywhere, making the
-    signature engine-portable without integer hash agreement.
+    Same rows as the historical explode+groupBy shape, but derived from the
+    per-doc :func:`signature_array`.  The generator explodes a LITERAL seed
+    sequence (its inferred non-empty filter constant-folds away) and picks
+    ``sigs[seed]`` from the attribute per output row — never explode the
+    sigs array itself (see word_shingles note).
     """
-    sh = word_shingles(df, text_col, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    seeded = sh.select("doc_id", "shingle", seeds)
-    return (
-        seeded.withColumn("h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    arr = signature_array(df, n_hashes, text_col, n)
+    d = arr.select(
+        "doc_id", "sigs",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+    )
+    return d.select(
+        "doc_id", "seed", F.element_at("sigs", F.col("seed") + 1).alias("minhash")
     )
 
 
-def band_candidates(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+def band_hashes(
+    signatures_arr: DataFrame, rows_per_band: int = 2, n_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, band, band_hash) from the array-form signatures.
+
+    Band hash = md5(min||','||max) over the band's ``rows_per_band``
+    minhashes — computed per doc from array slices (no groupBy), identical
+    to the historical groupBy(doc_id, band) min/max.
+    """
+    n_bands = (n_hashes + rows_per_band - 1) // rows_per_band
+    d = signatures_arr.select(
+        "doc_id", "sigs",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    )
+    sl = F.slice("sigs", F.col("band") * rows_per_band + 1, F.lit(rows_per_band))
+    return d.select(
+        "doc_id",
+        "band",
+        F.md5(F.concat_ws(",", F.array_min(sl), F.array_max(sl))).alias("band_hash"),
+    )
+
+
+def band_candidates(
+    signatures: DataFrame, rows_per_band: int = 2, n_hashes: int = 8
+) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs.
 
-    With 8 hashes and 2 rows/band → 4 bands.  Band hash = md5(min||','||max)
-    of the band's (exactly two) minhashes — deterministic without collect_list
-    ordering.  Output: (doc_a, doc_b) distinct, doc_a < doc_b.
+    Accepts either the array-form signatures (doc_id, sigs) or the exploded
+    row form (doc_id, seed, minhash); only the tiny (doc_id, band,
+    band_hash) rows reach the self-join.  Output: (doc_a, doc_b) distinct,
+    doc_a < doc_b.
     """
-    bands = (
-        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.min("minhash"), F.max("minhash"))).alias("band_hash"))
-    )
+    if "sigs" in signatures.columns:
+        bands = band_hashes(signatures, rows_per_band, n_hashes)
+    else:  # historical row form
+        bands = (
+            signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+            .groupBy("doc_id", "band")
+            .agg(F.md5(F.concat_ws(",", F.min("minhash"), F.max("minhash"))).alias("band_hash"))
+        )
     a = bands.alias("a")
     b = bands.alias("b")
+    # shuffle_hash hint: with BOTH sides shuffled on (band, band_hash) the
+    # two identical subtrees collapse into one Exchange + ReusedExchange —
+    # the signature pipeline is computed ONCE; a broadcast here would build
+    # and probe two separate copies (and would be the wrong shape for a
+    # web-scale bands table anyway)
     return (
-        a.join(b, on=["band", "band_hash"], how="inner")
+        a.hint("shuffle_hash").join(b, on=["band", "band_hash"], how="inner")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -75,21 +170,28 @@ def band_candidates(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
 
 def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Portable 16-bit SimHash: bit b set iff sum over tokens of
-    (±1 by parity of md5-hex char b) is positive."""
+    (±1 by parity of md5-hex char b) is positive.
+
+    One md5 per token (``transform``) + 16 cheap array ``aggregate``
+    passes per doc — no explode, no groupBy shuffle (guide §2.4)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), TOKENIZE)
-    tok = df.select("doc_id", F.explode(toks).alias("tok")).withColumn("h", F.md5("tok"))
-    per_bit = [
-        F.sum(
-            F.when(F.ascii(F.substring("h", b + 1, 1)) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"s{b}")
-        for b in range(16)
-    ]
-    agg = tok.groupBy("doc_id").agg(*per_bit)
+    hashed = F.transform(toks, lambda t: F.md5(t))
+    d = df.select("doc_id", hashed.alias("hs"))
+
+    def bit_sum(b: int):
+        pos = b + 1
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.ascii(F.substring(h, pos, 1)) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
     sim = None
     for b in range(16):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bit = F.when(bit_sum(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
-    return agg.select("doc_id", sim.alias("simhash"))
+    return d.select("doc_id", sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -101,21 +203,68 @@ def ngram_jaccard_pairs(
     ``pairs``: (doc_a, doc_b).  Returns (doc_a, doc_b, jaccard) with
     jaccard rounded to 4 decimals; ``min_jaccard`` filters on the *raw*
     ratio (before rounding) so thresholds match SQL oracles exactly.
+
+    The corpus is pruned to documents appearing in a candidate pair first
+    (broadcast semi-join — guide §3.2: drop definitely-non-matching rows
+    before the shuffle), so the intersection join runs over candidate docs
+    only.  Candidates are assumed << corpus (they are the LSH output); at a
+    scale where candidate-doc ids outgrow a broadcast, swap the hint for a
+    Bloom filter over the same ids.
+
+    The shingle SET per doc is ``array_distinct`` on the per-doc shingle
+    array (a row-local op) instead of a corpus-wide ``distinct()`` shuffle,
+    and each doc's set size rides along with its shingle rows, so the
+    separate sizes aggregate + two sizes joins disappear (guide §2.4).
     """
-    sh = word_shingles(df, text_col, n).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = df.join(F.broadcast(cand_docs), on="doc_id", how="left_semi")
+    sharr = _shingle_array(pruned, text_col, n).select(
+        "doc_id", F.array_distinct("shingles").alias("shd")
+    )
+    # (doc_id, sz, shingle) — exploded set rows carrying the set size.
+    # explode_OUTER: for a plain explode Catalyst infers a size(shd)>0
+    # filter and pushes it down with the whole shingle pipeline inlined —
+    # re-tokenizing per array element (the O(tokens²) trap); the outer
+    # variant infers nothing, and shd is provably non-empty (every doc here
+    # passed the >= n-token filter), so outer ≡ inner.
+    sh = sharr.select(
+        "doc_id", F.size("shd").alias("sz"), F.explode_outer("shd").alias("shingle")
+    )
     inter = (
-        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), on="doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b"), on=["doc_b", "shingle"])
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle"),
+            on="doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle"),
+            on=["doc_b", "shingle"],
+        )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
     )
-    scored = (
-        pairs.join(inter, on=["doc_a", "doc_b"], how="left")
-        .fillna(0, subset=["n_inter"])
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")
-    )
+    if min_jaccard is not None and min_jaccard > 0:
+        # zero-intersection pairs have raw jaccard 0 < min_jaccard — the
+        # pairs left-join that would carry them exists only for the
+        # min_jaccard=None contract, so skip it (one fewer reference to the
+        # candidate subtree, one fewer join)
+        scored = inter
+    else:
+        # a pair with no shared shingle has jaccard 0/(sz_a+sz_b) = 0.0
+        # exactly (both sizes are >= 1 for any doc that reached the LSH),
+        # so the sizes of missing pairs are irrelevant to the result
+        scored = (
+            pairs.join(inter, on=["doc_a", "doc_b"], how="left")
+            .fillna(0, subset=["n_inter"])
+            .fillna(1, subset=["sz_a", "sz_b"])
+        )
     raw = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
     if min_jaccard is not None:
         scored = scored.filter(raw >= min_jaccard)

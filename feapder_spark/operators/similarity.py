@@ -51,8 +51,14 @@ def _norm(a):
     )
 
 
-def with_cosine(df: DataFrame, query_vec_col, emb_col: str = "embedding") -> DataFrame:
-    cos = _dot(F.col(emb_col), query_vec_col) / (_norm(F.col(emb_col)) * _norm(query_vec_col))
+def with_cosine(
+    df: DataFrame, query_vec_col, emb_col: str = "embedding", query_norm_col=None
+) -> DataFrame:
+    """``query_norm_col``: optional precomputed ||q|| column — the query
+    frame is 1 row, so computing the norm there once instead of per scanned
+    row saves a 64-element array pass per row; same doubles, same cos."""
+    qn = _norm(query_vec_col) if query_norm_col is None else query_norm_col
+    cos = _dot(F.col(emb_col), query_vec_col) / (_norm(F.col(emb_col)) * qn)
     return df.withColumn("cos", F.round(cos, 6))
 
 
@@ -63,11 +69,12 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
     ordering ties break on vec_id so the result is total-ordered.
     """
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qvec")
+        F.col("embedding").alias("qvec"), _norm(F.col("embedding")).alias("qnorm")
     )
     scored = with_cosine(
         embeddings.filter(F.col("vec_id") != query_vec_id).crossJoin(F.broadcast(q)),
         F.col("qvec"),
+        query_norm_col=F.col("qnorm"),
     )
     return (
         scored.select("vec_id", "label", "cos")
@@ -112,13 +119,24 @@ def bucketed_neardup_pairs(
     same-bucket near-dups are a subset of all near-dups (LSH recall<1 by
     construction; raise n_bits tables/bands for higher recall).
     """
-    e = embeddings.select("vec_id", "embedding").withColumn(
-        "bucket", bucket_expr(n_bits=n_bits)
+    e = (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("bucket", bucket_expr(n_bits=n_bits))
+        # r6: norm once per VECTOR (N rows), not twice per candidate PAIR
+        # (~N·E[bucket]/2 rows) — same doubles, same cos bits (guide §1.2
+        # step 2: per-task work after the shape is right)
+        .withColumn("nrm", _norm(F.col("embedding")))
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), "bucket",
+    )
     pairs = a.join(b, on="bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         pairs.withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= threshold)
@@ -136,20 +154,38 @@ def multiband_neardup_pairs(
     single-table p^b).  Candidate generation stays hash joins; the union is
     deduped on the pair key BEFORE the cosine so each pair verifies once."""
     e = embeddings.select("vec_id", "embedding")
-    cand = None
-    for t in range(n_tables):
-        bt = e.withColumn("bucket", bucket_expr(n_bits=n_bits, offset=t * n_bits))
-        a = bt.select(F.col("vec_id").alias("vec_a"), "bucket")
-        b = bt.select(F.col("vec_id").alias("vec_b"), "bucket")
-        pairs = a.join(b, on="bucket").filter(F.col("vec_a") < F.col("vec_b")).select(
-            "vec_a", "vec_b"
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # r6: ONE self-join on the exploded (table, bucket) key instead of
+    # n_tables scans+joins+union (guide §2.4: same candidate set — a pair
+    # shares a bucket in table t iff it joins on key (t, bucket) — with
+    # 2(n_tables-1) fewer scans and one exchange per side instead of
+    # n_tables each); the union's pair-dedup survives as the same distinct.
+    buckets = F.array(*[
+        bucket_expr(n_bits=n_bits, offset=t * n_bits) for t in range(n_tables)
+    ])
+    # posexplode_OUTER: skips the inferred size>0 filter that would inline
+    # all n_tables bucket expressions a second time; the array is a literal
+    # construction of n_tables >= 1 non-null ints, so outer ≡ inner
+    tb = e.select("vec_id", F.posexplode_outer(buckets).alias("tbl", "bucket"))
+    a = tb.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = tb.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    # norm once per vector (see bucketed_neardup_pairs) — bit-identical cos
+    ev = e.withColumn("nrm", _norm(F.col("embedding")))
+    ea = ev.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = ev.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     scored = cand.join(ea, on="vec_a").join(eb, on="vec_b")
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         scored.withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= threshold)
@@ -161,12 +197,14 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 5, n_bits: i
     """Bucketed ANN: search only the query's own sign-LSH bucket."""
     with_b = embeddings.withColumn("bucket", bucket_expr(n_bits=n_bits))
     q = with_b.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+        _norm(F.col("embedding")).alias("qnorm"),
     )
     cands = with_b.join(F.broadcast(q), on=F.col("bucket") == F.col("qbucket")).filter(
         F.col("vec_id") != query_vec_id
     )
-    scored = with_cosine(cands, F.col("qvec"))
+    scored = with_cosine(cands, F.col("qvec"), query_norm_col=F.col("qnorm"))
     return (
         scored.select("vec_id", "label", "bucket", "cos")
         .orderBy(F.desc("cos"), F.asc("vec_id"))

@@ -33,6 +33,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism when the
+    source scan cannot provide it — the test tables are single-row-group
+    parquet files, so split-size configs cannot raise scan parallelism and
+    every per-row pipeline otherwise runs in 1-2 tasks (guide §2.5: one
+    unsplittable input file → repartition immediately after the read).
+
+    Applied only in front of CPU-heavy per-row work: the exchange moves the
+    scan columns once (a few MB here) to unlock cores-wide parallelism.  On
+    a production table with enough splits the branch is a no-op, so the
+    shape stays scale-adaptive rather than tuned to local[32]."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # planning-only probe; never fail the query for it
+        return df
+    return df.repartition(target) if cur < target else df
+
+
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
@@ -79,10 +99,13 @@ def frontier_topk_lease(spark, sf_dir):
 )
 def seen_antijoin(spark, sf_dir):
     """F1/J1: claim-on-enqueue dedup = left-anti join candidates vs seen set
-    (request_buffer.py:42-50 analog)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    (request_buffer.py:42-50 analog).  r6: anti-join FIRST (broadcast of the
+    seen keys — guide §3.1), distinct after: the map-side anti join drops
+    ~half the rows before the distinct's exchange, and the join itself needs
+    no shuffle at all (distinct∘anti ≡ anti∘distinct on the join key)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
     seen = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    return li.join(seen, li.l_orderkey == seen.o_orderkey, "left_anti")
+    return li.join(F.broadcast(seen), li.l_orderkey == seen.o_orderkey, "left_anti").distinct()
 
 
 @register(
@@ -97,7 +120,7 @@ def seen_antijoin(spark, sf_dir):
 def inbatch_dup_mark(spark, sf_dir):
     """F7: in-batch duplicate marking — 2nd+ occurrence of a fingerprint
     counts as existing (litefilter.py:57-68; window row_number)."""
-    d = _t(spark, sf_dir, "documents").withColumn("fp", F.md5("source"))
+    d = _fan_out(_t(spark, sf_dir, "documents")).withColumn("fp", F.md5("source"))
     w = Window.partitionBy("fp").orderBy("doc_id")
     return d.select(
         "doc_id", "fp", (F.row_number().over(w) > 1).cast("int").alias("seen_before")
@@ -282,7 +305,7 @@ def done_minus_pending(spark, sf_dir):
 )
 def dedup_exact(spark, sf_dir):
     """Exact content dedup: hash-groupBy on normalized text."""
-    return TS.exact_dedup(_t(spark, sf_dir, "documents"))
+    return TS.exact_dedup(_fan_out(_t(spark, sf_dir, "documents")))
 
 
 @register(
@@ -297,7 +320,7 @@ def dedup_exact(spark, sf_dir):
 )
 def token_stats(spark, sf_dir):
     """Token counting: whitespace + BPE-ish regex token counts."""
-    out = TS.token_stats(_t(spark, sf_dir, "documents"))
+    out = TS.token_stats(_fan_out(_t(spark, sf_dir, "documents")))
     return out.select(
         "doc_id",
         F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
@@ -322,7 +345,7 @@ def token_stats(spark, sf_dir):
 )
 def quality_score(spark, sf_dir):
     """Quality scoring: length + stopword-ratio heuristic."""
-    out = TS.quality_score(_t(spark, sf_dir, "documents"))
+    out = TS.quality_score(_fan_out(_t(spark, sf_dir, "documents")))
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -341,7 +364,7 @@ def quality_score(spark, sf_dir):
 )
 def content_fingerprint(spark, sf_dir):
     """Document fingerprinting (whitespace-normalized content hash)."""
-    return TS.content_fingerprint(_t(spark, sf_dir, "documents"))
+    return TS.content_fingerprint(_fan_out(_t(spark, sf_dir, "documents")))
 
 
 @register(
@@ -361,7 +384,7 @@ def content_fingerprint(spark, sf_dir):
 )
 def minhash_signatures(spark, sf_dir):
     """MinHash signatures: word-3-gram shingles × 8 seeded md5 minima."""
-    return MH.minhash_signatures(_t(spark, sf_dir, "documents"), n_hashes=8)
+    return MH.minhash_signatures(_fan_out(_t(spark, sf_dir, "documents")), n_hashes=8)
 
 
 @register(
@@ -388,9 +411,11 @@ def minhash_signatures(spark, sf_dir):
     """,
 )
 def minhash_lsh_candidates(spark, sf_dir):
-    """MinHash LSH banding: candidate near-dup pairs via band-bucket join."""
-    sigs = MH.minhash_signatures(_t(spark, sf_dir, "documents"), n_hashes=8)
-    return MH.band_candidates(sigs, rows_per_band=2)
+    """MinHash LSH banding: candidate near-dup pairs via band-bucket join.
+    Signatures/bands are per-doc array computations (no explode shuffle);
+    only (doc_id, band, band_hash) rows reach the self-join."""
+    arr = MH.signature_array(_fan_out(_t(spark, sf_dir, "documents")), n_hashes=8)
+    return MH.band_candidates(arr, rows_per_band=2, n_hashes=8)
 
 
 @register(
@@ -399,7 +424,7 @@ def minhash_lsh_candidates(spark, sf_dir):
 )
 def simhash(spark, sf_dir):
     """Portable 16-bit SimHash over tokens."""
-    return MH.simhash16(_t(spark, sf_dir, "documents"))
+    return MH.simhash16(_fan_out(_t(spark, sf_dir, "documents")))
 
 
 def _simhash_sql() -> str:
@@ -446,7 +471,7 @@ ORACLES["simhash"] = _simhash_sql()
 )
 def ngram_jaccard_dups(spark, sf_dir):
     """n-gram Jaccard near-dup pairs (shingle-join, intersection/union)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_out(_t(spark, sf_dir, "documents"))
     sh = MH.word_shingles(docs).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -483,7 +508,7 @@ def ngram_jaccard_dups(spark, sf_dir):
 )
 def embedding_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (ANN correctness baseline)."""
-    return SIM.cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+    return SIM.cosine_topk(_fan_out(_t(spark, sf_dir, "embeddings")), query_vec_id=0, k=10)
 
 
 def _bucket_sql(col: str = "embedding", n_bits: int = 8) -> str:
@@ -735,7 +760,7 @@ def callback_routing(spark, sf_dir):
 )
 def lang_id(spark, sf_dir):
     """Language-ID heuristic (marker scoring — the n-gram-table shape)."""
-    out = TS.lang_id(_t(spark, sf_dir, "documents"))
+    out = TS.lang_id(_fan_out(_t(spark, sf_dir, "documents")))
     return out.select(
         "doc_id", "lang_actual", "lang_pred", F.col("en_hits").cast("long").alias("en_hits")
     )
@@ -799,7 +824,7 @@ def ann_verified_neardups(spark, sf_dir):
     SQL; 10 bits at sf1's 20k rows, which un-cliffs the 10× scale-up from
     ~100× to ~10× work).  Recall per table drops as bits rise; production
     recovers it by banding tables (ann_multiband_neardups)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(_t(spark, sf_dir, "embeddings"))
     bits = SIM.adaptive_bits(emb.count())
     return SIM.bucketed_neardup_pairs(emb, threshold=0.45, n_bits=bits)
 
@@ -999,7 +1024,7 @@ def ann_multiband_neardups(spark, sf_dir):
     (n_bits, n_tables) is the recall/candidate-volume dial.  Bits adapt to
     table size like ann_verified_neardups (4 at oracle scale = the static
     SQL; capped at 64 dims / 6 tables = 10 so blocks stay disjoint)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(_t(spark, sf_dir, "embeddings"))
     bits = SIM.adaptive_bits(emb.count(), hi=64 // 6)
     return SIM.multiband_neardup_pairs(emb, threshold=0.45, n_bits=bits, n_tables=6)
 
@@ -1068,9 +1093,9 @@ def minhash_verified_dups(spark, sf_dir):
     """The composed near-dup pipeline: MinHash-LSH candidate generation →
     exact n-gram-Jaccard verification on candidates only (never all pairs) —
     the dedup shape that scales to 100 TB corpora."""
-    docs = _t(spark, sf_dir, "documents")
-    sigs = MH.minhash_signatures(docs, n_hashes=8)
-    cands = MH.band_candidates(sigs, rows_per_band=2)
+    docs = _fan_out(_t(spark, sf_dir, "documents"))
+    arr = MH.signature_array(docs, n_hashes=8)
+    cands = MH.band_candidates(arr, rows_per_band=2, n_hashes=8)
     return MH.ngram_jaccard_pairs(docs, cands, min_jaccard=0.2)
 
 
@@ -1103,7 +1128,11 @@ def text_to_spans(spark, sf_dir):
             F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)).alias("txt"),
         ),
     )
-    return d.select("doc_id", F.explode(spans).alias("s")).select(
+    # explode_outer: spans is non-empty for every doc (split never returns
+    # an empty array → n_chunks >= 1), and the outer generate skips the
+    # inferred size>0 filter that would inline the span construction (with
+    # per-element re-tokenization) into a pushed-down predicate
+    return d.select("doc_id", F.explode_outer(spans).alias("s")).select(
         "doc_id",
         F.col("s.o").alias("offset"),
         F.lit("text").alias("kind"),
