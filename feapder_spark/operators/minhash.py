@@ -211,10 +211,13 @@ def ngram_jaccard_pairs(
     scale where candidate-doc ids outgrow a broadcast, swap the hint for a
     Bloom filter over the same ids.
 
-    The shingle SET per doc is ``array_distinct`` on the per-doc shingle
-    array (a row-local op) instead of a corpus-wide ``distinct()`` shuffle,
-    and each doc's set size rides along with its shingle rows, so the
-    separate sizes aggregate + two sizes joins disappear (guide §2.4).
+    The shingle SET per doc stays an ARRAY end to end: ``array_distinct``
+    on the per-doc shingle array (a row-local op) replaces the corpus-wide
+    ``distinct()`` shuffle, and the pair intersection is a per-pair
+    ``array_intersect`` size instead of exploding shingle rows through two
+    joins and a re-aggregation — the only shuffles left are the tiny pair
+    and doc-id joins (guide §2.3: shuffle keys and metadata, never blow a
+    row set up just to count it back down).
     """
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -225,46 +228,37 @@ def ngram_jaccard_pairs(
     sharr = _shingle_array(pruned, text_col, n).select(
         "doc_id", F.array_distinct("shingles").alias("shd")
     )
-    # (doc_id, sz, shingle) — exploded set rows carrying the set size.
-    # explode_OUTER: for a plain explode Catalyst infers a size(shd)>0
-    # filter and pushes it down with the whole shingle pipeline inlined —
-    # re-tokenizing per array element (the O(tokens²) trap); the outer
-    # variant infers nothing, and shd is provably non-empty (every doc here
-    # passed the >= n-token filter), so outer ≡ inner.
-    sh = sharr.select(
-        "doc_id", F.size("shd").alias("sz"), F.explode_outer("shd").alias("shingle")
+    sharr = sharr.select("doc_id", "shd", F.size("shd").alias("sz"))
+    # every doc referenced by a pair has >= 1 shingle (it produced a
+    # signature), so these inner joins keep every pair — including
+    # zero-intersection ones (n_inter = 0), preserving the min_jaccard=None
+    # contract without a separate left join.  Both joins consume the SAME
+    # sharr frame (renames only after each join) so the two shingle-side
+    # subtrees canonicalize equal → the second is a ReusedExchange, and the
+    # pruned corpus is shingled once.
+    sa = sharr.alias("sa")
+    sb = sharr.alias("sb")
+    j1 = pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id")).select(
+        "doc_a", "doc_b", F.col("sa.shd").alias("shd_a"), F.col("sa.sz").alias("sz_a")
     )
-    inter = (
-        pairs.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle"),
-            on="doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle"),
-            on=["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count("*").alias("n_inter"),
-            F.min("sz_a").alias("sz_a"),
-            F.min("sz_b").alias("sz_b"),
+    joined = (
+        j1.join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect(F.col("shd_a"), F.col("sb.shd"))).alias("n_inter"),
+            "sz_a", F.col("sb.sz").alias("sz_b"),
         )
     )
-    if min_jaccard is not None and min_jaccard > 0:
-        # zero-intersection pairs have raw jaccard 0 < min_jaccard — the
-        # pairs left-join that would carry them exists only for the
-        # min_jaccard=None contract, so skip it (one fewer reference to the
-        # candidate subtree, one fewer join)
-        scored = inter
-    else:
-        # a pair with no shared shingle has jaccard 0/(sz_a+sz_b) = 0.0
-        # exactly (both sizes are >= 1 for any doc that reached the LSH),
-        # so the sizes of missing pairs are irrelevant to the result
-        scored = (
-            pairs.join(inter, on=["doc_a", "doc_b"], how="left")
-            .fillna(0, subset=["n_inter"])
-            .fillna(1, subset=["sz_a", "sz_b"])
-        )
+    # aggregation barrier: (doc_a, doc_b) rows are already unique, so this
+    # is a no-op on values — but without it PushPredicateThroughJoin folds
+    # the min_jaccard filter (with array_intersect inlined) into the hash
+    # join's residual condition, which measured ~30x slower than the same
+    # predicate as a post-join filter (97 s vs 3 s at sf1)
+    scored = joined.groupBy("doc_a", "doc_b").agg(
+        F.min("n_inter").alias("n_inter"),
+        F.min("sz_a").alias("sz_a"),
+        F.min("sz_b").alias("sz_b"),
+    )
     raw = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
     if min_jaccard is not None:
         scored = scored.filter(raw >= min_jaccard)

@@ -174,17 +174,21 @@ def multiband_neardup_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    # norm once per vector (see bucketed_neardup_pairs) — bit-identical cos
+    # norm once per vector (see bucketed_neardup_pairs) — bit-identical cos.
+    # Both verify joins consume the SAME ev frame (columns renamed only
+    # after each join), so the two build-side subtrees canonicalize equal
+    # and the second is a ReusedExchange instead of a second scan+norm pass.
     ev = e.withColumn("nrm", _norm(F.col("embedding")))
-    ea = ev.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
+    ea = ev.alias("ea")
+    eb = ev.alias("eb")
+    j1 = cand.join(ea, F.col("vec_a") == F.col("ea.vec_id")).select(
+        "vec_a", "vec_b",
+        F.col("ea.embedding").alias("emb_a"), F.col("ea.nrm").alias("nrm_a"),
     )
-    eb = ev.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
+    scored = j1.join(eb, F.col("vec_b") == F.col("eb.vec_id")).select(
+        "vec_a", "vec_b", "emb_a", "nrm_a",
+        F.col("eb.embedding").alias("emb_b"), F.col("eb.nrm").alias("nrm_b"),
     )
-    scored = cand.join(ea, on="vec_a").join(eb, on="vec_b")
     cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         scored.withColumn("cos_raw", cos)

@@ -120,7 +120,7 @@ def seen_antijoin(spark, sf_dir):
 def inbatch_dup_mark(spark, sf_dir):
     """F7: in-batch duplicate marking — 2nd+ occurrence of a fingerprint
     counts as existing (litefilter.py:57-68; window row_number)."""
-    d = _fan_out(_t(spark, sf_dir, "documents")).withColumn("fp", F.md5("source"))
+    d = _t(spark, sf_dir, "documents").withColumn("fp", F.md5("source"))
     w = Window.partitionBy("fp").orderBy("doc_id")
     return d.select(
         "doc_id", "fp", (F.row_number().over(w) > 1).cast("int").alias("seen_before")
@@ -305,7 +305,7 @@ def done_minus_pending(spark, sf_dir):
 )
 def dedup_exact(spark, sf_dir):
     """Exact content dedup: hash-groupBy on normalized text."""
-    return TS.exact_dedup(_fan_out(_t(spark, sf_dir, "documents")))
+    return TS.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -824,9 +824,9 @@ def ann_verified_neardups(spark, sf_dir):
     SQL; 10 bits at sf1's 20k rows, which un-cliffs the 10× scale-up from
     ~100× to ~10× work).  Recall per table drops as bits rise; production
     recovers it by banding tables (ann_multiband_neardups)."""
-    emb = _fan_out(_t(spark, sf_dir, "embeddings"))
-    bits = SIM.adaptive_bits(emb.count())
-    return SIM.bucketed_neardup_pairs(emb, threshold=0.45, n_bits=bits)
+    emb_raw = _t(spark, sf_dir, "embeddings")
+    bits = SIM.adaptive_bits(emb_raw.count())  # metadata-only count on the raw scan
+    return SIM.bucketed_neardup_pairs(_fan_out(emb_raw), threshold=0.45, n_bits=bits)
 
 
 @register(
@@ -1024,8 +1024,9 @@ def ann_multiband_neardups(spark, sf_dir):
     (n_bits, n_tables) is the recall/candidate-volume dial.  Bits adapt to
     table size like ann_verified_neardups (4 at oracle scale = the static
     SQL; capped at 64 dims / 6 tables = 10 so blocks stay disjoint)."""
-    emb = _fan_out(_t(spark, sf_dir, "embeddings"))
-    bits = SIM.adaptive_bits(emb.count(), hi=64 // 6)
+    emb_raw = _t(spark, sf_dir, "embeddings")
+    bits = SIM.adaptive_bits(emb_raw.count(), hi=64 // 6)  # metadata-only count
+    emb = _fan_out(emb_raw)
     return SIM.multiband_neardup_pairs(emb, threshold=0.45, n_bits=bits, n_tables=6)
 
 
