@@ -82,9 +82,16 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
                 columns=["media_id", "kind", "width", "height", "n_bytes", "features", "decode_partition"],
             )
 
-    # media blobs are large: partition by count, not bytes-in-plan
+    # media blobs are large: partition by count, not bytes-in-plan.
+    # Project to exactly the columns the decode touches BEFORE the Python
+    # boundary (guide §4.1) — mapInPandas is opaque to column pruning, so an
+    # un-projected frame would ship (and shuffle) the meta map for nothing.
     n_parts = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n_parts).mapInPandas(decode_map, schema=DECODED_DDL)
+    return (
+        media.select("media_id", "kind", "payload")
+        .repartition(n_parts)
+        .mapInPandas(decode_map, schema=DECODED_DDL)
+    )
 
 
 def resize_images(decoded: DataFrame, max_dim: int = 96) -> DataFrame:
