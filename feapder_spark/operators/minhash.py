@@ -31,6 +31,18 @@ from pyspark.sql import functions as F
 TOKENIZE = r"\s+"
 
 
+def _tok_df(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, toks) with docs of < n tokens dropped.  Built via ONE
+    selectExpr SQL string: constructing the same tree from pyspask Column
+    calls costs hundreds of py4j round trips PER QUERY CONSTRUCTION
+    (measured 0.2-0.5 s per headline query, paid inside every timed bench
+    rep); a single parsed string is one round trip with an identical
+    analyzed plan."""
+    d = df.selectExpr("doc_id", f"split(lower(trim({text_col})), '\\\\s+') AS toks")
+    return d.filter(F.expr(f"size(toks) >= {n}"))
+
+
+
 def _shingle_array(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingles array<string>) word n-grams; docs with < n tokens
     drop out.  The array form feeds the per-doc signature/band computation;
@@ -41,13 +53,10 @@ def _shingle_array(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     expression — when Catalyst inlines a projection into a lambda body,
     interpreted higher-order functions re-evaluate it PER ELEMENT, turning
     tokenization O(tokens) into O(tokens²) per doc."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKENIZE)
-    d = df.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
-    idx = F.sequence(F.lit(0), F.size("toks") - n)
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j + 1) for j in range(n)])
-    )
-    return d.select("doc_id", shingles.alias("shingles"))
+    d = _tok_df(df, text_col, n)
+    parts = ", ".join(f"element_at(toks, i + {j + 1})" for j in range(n))
+    sh = f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {parts}))"
+    return d.selectExpr("doc_id", f"{sh} AS shingles")
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -60,24 +69,11 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     offset explode's inferred filter only re-evaluates ``split`` once per
     row; the shingle itself is assembled per OUTPUT row from the ``toks``
     attribute."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKENIZE)
-    d = df.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
-    d = d.select(
-        "doc_id", "toks",
-        F.explode_outer(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
+    d = _tok_df(df, text_col, n).selectExpr(
+        "doc_id", "toks", f"explode_outer(sequence(0, size(toks) - {n})) AS i"
     )
-    shingle = F.concat_ws(
-        " ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(n)]
-    )
-    return d.select("doc_id", shingle.alias("shingle"))
-
-
-def _seeded_min(shingles_col, seed: int):
-    """min over shingles of md5(seed || ':' || shingle) — one codegen'd
-    array pass, byte-identical to the old explode+groupBy-min (md5-hex
-    strings compare lexically the same everywhere)."""
-    prefix = F.lit(f"{seed}:")
-    return F.array_min(F.transform(shingles_col, lambda x: F.md5(F.concat(prefix, x))))
+    parts = ", ".join(f"element_at(toks, i + {j + 1})" for j in range(n))
+    return d.selectExpr("doc_id", f"concat_ws(' ', {parts}) AS shingle")
 
 
 def signature_array(
@@ -88,8 +84,11 @@ def signature_array(
     (guide §2.4): the plan is Scan → Project inside one WholeStageCodegen.
     """
     sh = _shingle_array(df, text_col, n)
-    sigs = F.array(*[_seeded_min(F.col("shingles"), s) for s in range(n_hashes)])
-    return sh.select("doc_id", sigs.alias("sigs"))
+    mins = ", ".join(
+        f"array_min(transform(shingles, x -> md5(concat('{s}:', x))))"
+        for s in range(n_hashes)
+    )
+    return sh.selectExpr("doc_id", f"array({mins}) AS sigs")
 
 
 def minhash_signatures(
@@ -104,13 +103,10 @@ def minhash_signatures(
     sigs array itself (see word_shingles note).
     """
     arr = signature_array(df, n_hashes, text_col, n)
-    d = arr.select(
-        "doc_id", "sigs",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+    d = arr.selectExpr(
+        "doc_id", "sigs", f"explode(sequence(0, {n_hashes - 1})) AS seed"
     )
-    return d.select(
-        "doc_id", "seed", F.element_at("sigs", F.col("seed") + 1).alias("minhash")
-    )
+    return d.selectExpr("doc_id", "seed", "element_at(sigs, seed + 1) AS minhash")
 
 
 def band_hashes(
@@ -123,15 +119,14 @@ def band_hashes(
     to the historical groupBy(doc_id, band) min/max.
     """
     n_bands = (n_hashes + rows_per_band - 1) // rows_per_band
-    d = signatures_arr.select(
-        "doc_id", "sigs",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    d = signatures_arr.selectExpr(
+        "doc_id", "sigs", f"explode(sequence(0, {n_bands - 1})) AS band"
     )
-    sl = F.slice("sigs", F.col("band") * rows_per_band + 1, F.lit(rows_per_band))
-    return d.select(
+    sl = f"slice(sigs, band * {rows_per_band} + 1, {rows_per_band})"
+    return d.selectExpr(
         "doc_id",
         "band",
-        F.md5(F.concat_ws(",", F.array_min(sl), F.array_max(sl))).alias("band_hash"),
+        f"md5(concat_ws(',', array_min({sl}), array_max({sl}))) AS band_hash",
     )
 
 
@@ -173,25 +168,23 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     (±1 by parity of md5-hex char b) is positive.
 
     One md5 per token (``transform``) + 16 cheap array ``aggregate``
-    passes per doc — no explode, no groupBy shuffle (guide §2.4)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKENIZE)
-    hashed = F.transform(toks, lambda t: F.md5(t))
-    d = df.select("doc_id", hashed.alias("hs"))
+    passes per doc — no explode, no groupBy shuffle (guide §2.4); the
+    whole expression is ONE parsed SQL string (see _tok_df note)."""
+    d = df.selectExpr(
+        "doc_id",
+        f"transform(split(lower(trim({text_col})), '\\\\s+'), t -> md5(t)) AS hs",
+    )
 
-    def bit_sum(b: int):
-        pos = b + 1
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.ascii(F.substring(h, pos, 1)) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
+    def bit_sum(b: int) -> str:
+        return (
+            "aggregate(hs, 0, (acc, h) -> acc + (CASE WHEN "
+            f"ascii(substring(h, {b + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END))"
         )
 
-    sim = None
-    for b in range(16):
-        bit = F.when(bit_sum(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return d.select("doc_id", sim.alias("simhash"))
+    sim = " + ".join(
+        f"(CASE WHEN {bit_sum(b)} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return d.selectExpr("doc_id", f"({sim}) AS simhash")
 
 
 def ngram_jaccard_pairs(

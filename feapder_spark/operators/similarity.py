@@ -10,6 +10,13 @@
 
 Floats: inputs are float32; every arithmetic step is forced to double and
 results rounded, so the DuckDB oracle matches bit-for-bit.
+
+r6 construction note: the hot expressions are built as ONE SQL string per
+projection (``selectExpr``/``F.expr``) — the equivalent pyspark Column
+chains cost hundreds of py4j round trips per query CONSTRUCTION (0.3-1.1 s
+for the ANN queries), paid inside every timed bench rep.  The parsed
+trees are identical; ``_dot``/``_norm`` keep a Column form for callers
+that hold Column objects.
 """
 
 from __future__ import annotations
@@ -37,7 +44,25 @@ def adaptive_bits(n_rows: int, target_bucket: int = 32, lo: int = 4, hi: int = 1
     return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket))))
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the double-forced dot product of two array columns —
+    identical tree to the Column form below."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate({a}, CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
 def _dot(a, b):
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -46,6 +71,8 @@ def _dot(a, b):
 
 
 def _norm(a):
+    if isinstance(a, str):
+        return F.expr(_norm_sql(a))
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
@@ -56,7 +83,16 @@ def with_cosine(
 ) -> DataFrame:
     """``query_norm_col``: optional precomputed ||q|| column — the query
     frame is 1 row, so computing the norm there once instead of per scanned
-    row saves a 64-element array pass per row; same doubles, same cos."""
+    row saves a 64-element array pass per row; same doubles, same cos.
+
+    When the query columns are given by NAME the whole cosine is one
+    parsed SQL expression (see module note)."""
+    if isinstance(query_vec_col, str):
+        qn = _norm_sql(query_vec_col) if query_norm_col is None else str(query_norm_col)
+        cos = (
+            f"round({_dot_sql(emb_col, query_vec_col)} / ({_norm_sql(emb_col)} * {qn}), 6)"
+        )
+        return df.withColumn("cos", F.expr(cos))
     qn = _norm(query_vec_col) if query_norm_col is None else query_norm_col
     cos = _dot(F.col(emb_col), query_vec_col) / (_norm(F.col(emb_col)) * qn)
     return df.withColumn("cos", F.round(cos, 6))
@@ -68,13 +104,13 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
     The single query row is broadcast (crossJoin with a 1-row frame);
     ordering ties break on vec_id so the result is total-ordered.
     """
-    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qvec"), _norm(F.col("embedding")).alias("qnorm")
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).selectExpr(
+        "embedding AS qvec", f"{_norm_sql('embedding')} AS qnorm"
     )
     scored = with_cosine(
         embeddings.filter(F.col("vec_id") != query_vec_id).crossJoin(F.broadcast(q)),
-        F.col("qvec"),
-        query_norm_col=F.col("qnorm"),
+        "qvec",
+        query_norm_col="qnorm",
     )
     return (
         scored.select("vec_id", "label", "cos")
@@ -83,22 +119,26 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
     )
 
 
+def bucket_sql(emb_col: str = "embedding", n_bits: int = 8, offset: int = 0) -> str:
+    """SQL text of the sign-LSH bucket id from n_bits dimensions starting
+    at ``offset`` (1-indexed element_at, identical to DuckDB list
+    indexing).  Distinct offsets give independent hash tables."""
+    terms = " + ".join(
+        f"(CASE WHEN element_at({emb_col}, {offset + i + 1}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"CAST(({terms}) AS INT)"
+
+
 def bucket_expr(emb_col: str = "embedding", n_bits: int = 8, offset: int = 0):
-    """Sign-LSH bucket id from n_bits dimensions starting at ``offset``
-    (1-indexed element_at, identical to DuckDB list indexing).  Distinct
-    offsets give independent hash tables (multi-band LSH)."""
-    b = F.lit(0)
-    for i in range(n_bits):
-        b = b + F.when(
-            F.element_at(F.col(emb_col), offset + i + 1) > 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    return b.cast("int")
+    """Column form of :func:`bucket_sql` (same parsed tree)."""
+    return F.expr(bucket_sql(emb_col, n_bits, offset))
 
 
 def lsh_buckets(embeddings: DataFrame, n_bits: int = 8) -> DataFrame:
     """Bucket histogram: (bucket, n_vecs)."""
     return (
-        embeddings.select(bucket_expr(n_bits=n_bits).alias("bucket"))
+        embeddings.selectExpr(f"{bucket_sql(n_bits=n_bits)} AS bucket")
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"))
     )
@@ -118,27 +158,21 @@ def bucketed_neardup_pairs(
     (queries.embedding_neardup_pairs) is the recall/verification baseline —
     same-bucket near-dups are a subset of all near-dups (LSH recall<1 by
     construction; raise n_bits tables/bands for higher recall).
+
+    Norms are computed once per VECTOR (N rows), not twice per candidate
+    PAIR — same doubles, same cos bits (guide §1.2 step 2).
     """
-    e = (
-        embeddings.select("vec_id", "embedding")
-        .withColumn("bucket", bucket_expr(n_bits=n_bits))
-        # r6: norm once per VECTOR (N rows), not twice per candidate PAIR
-        # (~N·E[bucket]/2 rows) — same doubles, same cos bits (guide §1.2
-        # step 2: per-task work after the shape is right)
-        .withColumn("nrm", _norm(F.col("embedding")))
+    e = embeddings.selectExpr(
+        "vec_id", "embedding",
+        f"{bucket_sql(n_bits=n_bits)} AS bucket",
+        f"{_norm_sql('embedding')} AS nrm",
     )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"), "bucket",
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"), "bucket",
-    )
+    a = e.selectExpr("vec_id AS vec_a", "embedding AS emb_a", "nrm AS nrm_a", "bucket")
+    b = e.selectExpr("vec_id AS vec_b", "embedding AS emb_b", "nrm AS nrm_b", "bucket")
     pairs = a.join(b, on="bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    cos_raw = f"{_dot_sql('emb_a', 'emb_b')} / (nrm_a * nrm_b)"
     return (
-        pairs.withColumn("cos_raw", cos)
+        pairs.withColumn("cos_raw", F.expr(cos_raw))
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_a", "vec_b", "bucket", F.round("cos_raw", 6).alias("cos"))
     )
@@ -154,20 +188,21 @@ def multiband_neardup_pairs(
     single-table p^b).  Candidate generation stays hash joins; the union is
     deduped on the pair key BEFORE the cosine so each pair verifies once."""
     e = embeddings.select("vec_id", "embedding")
-    # r6: ONE self-join on the exploded (table, bucket) key instead of
-    # n_tables scans+joins+union (guide §2.4: same candidate set — a pair
-    # shares a bucket in table t iff it joins on key (t, bucket) — with
-    # 2(n_tables-1) fewer scans and one exchange per side instead of
-    # n_tables each); the union's pair-dedup survives as the same distinct.
-    buckets = F.array(*[
-        bucket_expr(n_bits=n_bits, offset=t * n_bits) for t in range(n_tables)
-    ])
-    # posexplode_OUTER: skips the inferred size>0 filter that would inline
-    # all n_tables bucket expressions a second time; the array is a literal
-    # construction of n_tables >= 1 non-null ints, so outer ≡ inner
-    tb = e.select("vec_id", F.posexplode_outer(buckets).alias("tbl", "bucket"))
-    a = tb.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
-    b = tb.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    # ONE self-join on the exploded (table, bucket) key instead of n_tables
+    # scans+joins+union (guide §2.4: same candidate set — a pair shares a
+    # bucket in table t iff it joins on key (t, bucket)); the union's
+    # pair-dedup survives as the same distinct.  posexplode_OUTER skips the
+    # inferred size>0 filter that would inline all bucket expressions a
+    # second time; the array is a literal construction of n_tables >= 1
+    # non-null ints, so outer ≡ inner.
+    buckets = ", ".join(
+        bucket_sql(n_bits=n_bits, offset=t * n_bits) for t in range(n_tables)
+    )
+    tb = e.selectExpr(
+        "vec_id", f"posexplode_outer(array({buckets})) AS (tbl, bucket)"
+    )
+    a = tb.selectExpr("vec_id AS vec_a", "tbl", "bucket")
+    b = tb.selectExpr("vec_id AS vec_b", "tbl", "bucket")
     cand = (
         a.join(b, on=["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -178,7 +213,7 @@ def multiband_neardup_pairs(
     # Both verify joins consume the SAME ev frame (columns renamed only
     # after each join), so the two build-side subtrees canonicalize equal
     # and the second is a ReusedExchange instead of a second scan+norm pass.
-    ev = e.withColumn("nrm", _norm(F.col("embedding")))
+    ev = e.selectExpr("vec_id", "embedding", f"{_norm_sql('embedding')} AS nrm")
     ea = ev.alias("ea")
     eb = ev.alias("eb")
     j1 = cand.join(ea, F.col("vec_a") == F.col("ea.vec_id")).select(
@@ -189,9 +224,9 @@ def multiband_neardup_pairs(
         "vec_a", "vec_b", "emb_a", "nrm_a",
         F.col("eb.embedding").alias("emb_b"), F.col("eb.nrm").alias("nrm_b"),
     )
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    cos_raw = f"{_dot_sql('emb_a', 'emb_b')} / (nrm_a * nrm_b)"
     return (
-        scored.withColumn("cos_raw", cos)
+        scored.withColumn("cos_raw", F.expr(cos_raw))
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
     )
@@ -200,15 +235,13 @@ def multiband_neardup_pairs(
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 5, n_bits: int = 8) -> DataFrame:
     """Bucketed ANN: search only the query's own sign-LSH bucket."""
     with_b = embeddings.withColumn("bucket", bucket_expr(n_bits=n_bits))
-    q = with_b.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qvec"),
-        F.col("bucket").alias("qbucket"),
-        _norm(F.col("embedding")).alias("qnorm"),
+    q = with_b.filter(F.col("vec_id") == query_vec_id).selectExpr(
+        "embedding AS qvec", "bucket AS qbucket", f"{_norm_sql('embedding')} AS qnorm"
     )
     cands = with_b.join(F.broadcast(q), on=F.col("bucket") == F.col("qbucket")).filter(
         F.col("vec_id") != query_vec_id
     )
-    scored = with_cosine(cands, F.col("qvec"), query_norm_col=F.col("qnorm"))
+    scored = with_cosine(cands, "qvec", query_norm_col="qnorm")
     return (
         scored.select("vec_id", "label", "bucket", "cos")
         .orderBy(F.desc("cos"), F.asc("vec_id"))
