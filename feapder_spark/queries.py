@@ -81,6 +81,17 @@ def _fan_out(df: DataFrame) -> DataFrame:
 _FANOUT_CACHE: dict = {}
 
 
+
+def _nrows(sf_dir: str, name: str) -> int:
+    """Row count from the parquet FOOTER (pyarrow) — computed from the
+    input file on every call, no caching; equivalent to Spark's
+    metadata-only count() minus the job-submission overhead (~0.2 s per
+    timed rep).  Used only to pick adaptive LSH bit widths."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
@@ -852,9 +863,10 @@ def ann_verified_neardups(spark, sf_dir):
     SQL; 10 bits at sf1's 20k rows, which un-cliffs the 10× scale-up from
     ~100× to ~10× work).  Recall per table drops as bits rise; production
     recovers it by banding tables (ann_multiband_neardups)."""
-    emb_raw = _t(spark, sf_dir, "embeddings")
-    bits = SIM.adaptive_bits(emb_raw.count())  # metadata-only count on the raw scan
-    return SIM.bucketed_neardup_pairs(_fan_out(emb_raw), threshold=0.45, n_bits=bits)
+    bits = SIM.adaptive_bits(_nrows(sf_dir, "embeddings"))
+    return SIM.bucketed_neardup_pairs(
+        _fan_out(_t(spark, sf_dir, "embeddings")), threshold=0.45, n_bits=bits
+    )
 
 
 @register(
@@ -1052,9 +1064,8 @@ def ann_multiband_neardups(spark, sf_dir):
     (n_bits, n_tables) is the recall/candidate-volume dial.  Bits adapt to
     table size like ann_verified_neardups (4 at oracle scale = the static
     SQL; capped at 64 dims / 6 tables = 10 so blocks stay disjoint)."""
-    emb_raw = _t(spark, sf_dir, "embeddings")
-    bits = SIM.adaptive_bits(emb_raw.count(), hi=64 // 6)  # metadata-only count
-    emb = _fan_out(emb_raw)
+    bits = SIM.adaptive_bits(_nrows(sf_dir, "embeddings"), hi=64 // 6)
+    emb = _fan_out(_t(spark, sf_dir, "embeddings"))
     return SIM.multiband_neardup_pairs(emb, threshold=0.45, n_bits=bits, n_tables=6)
 
 
