@@ -17,10 +17,15 @@ outright" and §4.1 "built-ins / higher-order functions"):
   char (identical in any engine with ascii+md5).
 - **n-gram Jaccard**: exact verification for candidate pairs — the corpus
   is first PRUNED to documents that appear in a candidate pair (broadcast
-  semi-join, guide §3.2/§8), so the shingle-intersection join shuffles
-  candidate docs' shingles only, never the corpus.
+  semi-join, guide §3.2/§8), each doc's shingle SET stays an array
+  (``array_distinct``), and the pair intersection is a per-pair
+  ``size(array_intersect)`` — no shingle rows are ever exploded into the
+  joins.
 
-All pure pyspark.sql.functions — no Python UDFs anywhere.
+All JVM-side SQL expressions — no Python UDFs anywhere; the hot
+projections are built as single ``selectExpr`` strings because the
+equivalent Column-call chains cost hundreds of py4j round trips per
+query construction (see _tok_df).
 """
 
 from __future__ import annotations

