@@ -217,6 +217,12 @@ def ngram_jaccard_pairs(
     and doc-id joins (guide §2.3: shuffle keys and metadata, never blow a
     row set up just to count it back down).
     """
+    # (A lazy localCheckpoint of `pairs` was tried here to stop the
+    # broadcast prune from re-running the LSH pipeline, and looked good in
+    # a sequential probe — but an INTERLEAVED same-session A/B shows it
+    # consistently ~0.6 s SLOWER at sf1 (best 4.32 vs 3.71): AQE stage
+    # reuse already shares the candidate exchange across both consumers,
+    # so the .rdd conversion + block writes are pure overhead.  Kept out.)
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
